@@ -1,0 +1,215 @@
+"""TPU-native log-mel front-end (JAX/XLA).
+
+Instead of translating torchaudio's FFT pipeline, the DFT is expressed as two
+GEMMs against precomputed windowed cosine/sine matrices (GEMM-native DFT —
+the MXU-friendly formulation; cf. the MelT approach in PAPERS.md).  For a
+1024-point frame the DFT matrices are (1024, 513): tiny, VMEM-resident, and
+the whole front-end becomes
+
+    frames @ Wcos, frames @ Wsin  ->  square+add  ->  @ mel_fb  ->  log10
+
+which XLA fuses into a few MXU ops.  A fused single-kernel Pallas version
+lives in ``frontend_pallas.py``; both must match the NumPy golden
+(``frontend_numpy.py``), which itself matches the reference torchaudio
+contract (``scripts/precompute_features.py:28-73``).
+
+Batched processing of variable-length audio uses static shapes throughout
+(XLA requirement): waveforms arrive zero-padded to a fixed buffer plus their
+true lengths, reflect padding is materialized per-sample with vectorized
+index arithmetic, and per-utterance normalization is computed under a
+valid-frame mask so results are bit-identical to processing each utterance
+alone.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speech_intent_recognizer_tpu.config.schema import AudioConfig
+from speech_intent_recognizer_tpu.ops import frontend_numpy as golden
+
+
+class FrontendParams(NamedTuple):
+    """Precomputed constant operands of the front-end (device arrays)."""
+
+    dft_cos: jax.Array  # (n_fft, n_freqs) window-folded cos DFT matrix
+    dft_sin: jax.Array  # (n_fft, n_freqs)
+    mel_fb: jax.Array  # (n_freqs, n_mels)
+    n_fft: int
+    hop_length: int
+    n_mels: int
+    sample_rate: int
+    target_length: int
+    frontend: str  # "torchaudio" | "librosa"
+    norm_eps: float
+    global_mean: float
+    global_std: float
+
+
+def make_frontend_params(
+    cfg: Optional[AudioConfig] = None,
+    dtype=jnp.float32,
+    global_mean: float = -30.1,
+    global_std: float = 12.7,
+) -> FrontendParams:
+    cfg = cfg or AudioConfig()
+    n_freqs = cfg.n_fft // 2 + 1
+    window = golden.hann_window(cfg.win_length)
+    if cfg.win_length < cfg.n_fft:
+        lpad = (cfg.n_fft - cfg.win_length) // 2
+        window = np.pad(window, (lpad, cfg.n_fft - cfg.win_length - lpad))
+    n = np.arange(cfg.n_fft)[:, None]
+    f = np.arange(n_freqs)[None, :]
+    angle = 2.0 * np.pi * n * f / cfg.n_fft
+    wcos = (np.cos(angle) * window[:, None]).astype(np.float64)
+    wsin = (-np.sin(angle) * window[:, None]).astype(np.float64)
+    if cfg.frontend == "torchaudio":
+        fb = golden.mel_filterbank(
+            n_freqs, cfg.n_mels, cfg.sample_rate, cfg.f_min, cfg.f_max,
+            mel_scale="htk", norm=None)
+    else:
+        fb = golden.mel_filterbank(
+            n_freqs, cfg.n_mels, cfg.sample_rate, cfg.f_min, cfg.f_max,
+            mel_scale="slaney", norm="slaney")
+    return FrontendParams(
+        dft_cos=jnp.asarray(wcos, dtype=dtype),
+        dft_sin=jnp.asarray(wsin, dtype=dtype),
+        mel_fb=jnp.asarray(fb, dtype=dtype),
+        n_fft=cfg.n_fft,
+        hop_length=cfg.hop_length,
+        n_mels=cfg.n_mels,
+        sample_rate=cfg.sample_rate,
+        target_length=cfg.mel_spec_length,
+        frontend=cfg.frontend,
+        norm_eps=cfg.norm_eps,
+        global_mean=global_mean,
+        global_std=global_std,
+    )
+
+
+def _prepare_one(x: jax.Array, length: jax.Array, pad: int, reflect: bool) -> jax.Array:
+    """Center-pad one zero-padded waveform; returns (L_max + 2*pad,).
+
+    Reflect mode reproduces torch.stft's ``pad_mode="reflect"``; constant
+    mode (zeros) reproduces librosa's default.  The left pad is static; the
+    right pad is written at the dynamic true end of the signal.
+    """
+    l_max = x.shape[0]
+    buf = jnp.zeros(l_max + 2 * pad, dtype=x.dtype)
+    buf = jax.lax.dynamic_update_slice(buf, x, (pad,))
+    if reflect:
+        left = x[1 : pad + 1][::-1]
+        ridx = jnp.clip(length - 2 - jnp.arange(pad), 0, l_max - 1)
+        right = x[ridx]
+        buf = jax.lax.dynamic_update_slice(buf, left, (0,))
+        buf = jax.lax.dynamic_update_slice(buf, right, (pad + length,))
+    return buf
+
+
+def frame_signal(prepared: jax.Array, n_fft: int, hop_length: int) -> jax.Array:
+    """(B, L) center-padded signals -> (B, T, n_fft) overlapping frames.
+
+    When ``n_fft`` is a multiple of ``hop_length`` (the 1024/512 default),
+    frames are assembled from contiguous hop-sized chunks — a pure reshape +
+    concat, no gather — which XLA lowers to cheap layout ops.
+    """
+    b, l = prepared.shape
+    t = (l - n_fft) // hop_length + 1
+    if n_fft % hop_length == 0:
+        r = n_fft // hop_length
+        n_chunks = t + r - 1
+        chunks = prepared[:, : n_chunks * hop_length].reshape(b, n_chunks, hop_length)
+        parts = [chunks[:, j : j + t] for j in range(r)]
+        return jnp.concatenate(parts, axis=-1)
+    starts = hop_length * jnp.arange(t)[:, None] + jnp.arange(n_fft)[None, :]
+    return prepared[:, starts]
+
+
+def _mel_power(frames: jax.Array, p: FrontendParams, precision) -> jax.Array:
+    """(B, T, n_fft) frames -> (B, T, n_mels) mel power (the two-GEMM DFT)."""
+    c = jnp.dot(frames, p.dft_cos, precision=precision)
+    s = jnp.dot(frames, p.dft_sin, precision=precision)
+    power = c * c + s * s
+    return jnp.dot(power, p.mel_fb, precision=precision)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params_static", "normalize", "pad_to_target"))
+def _frontend_impl(waveforms, lengths, dft_cos, dft_sin, mel_fb,
+                   params_static, normalize, pad_to_target):
+    (n_fft, hop, n_mels, target_len, mode, eps, gmean, gstd) = params_static
+    p = FrontendParams(dft_cos, dft_sin, mel_fb, n_fft, hop, n_mels, 0,
+                       target_len, mode, eps, gmean, gstd)
+    pad = n_fft // 2
+    reflect = mode == "torchaudio"
+    prepared = jax.vmap(lambda x, l: _prepare_one(x, l, pad, reflect))(
+        waveforms, lengths)
+    frames = frame_signal(prepared, n_fft, hop)  # (B, T, n_fft)
+    b, t, _ = frames.shape
+    mel = _mel_power(frames, p, jax.lax.Precision.HIGHEST)  # (B, T, n_mels)
+
+    # Valid frames per utterance: center=True gives 1 + length // hop.
+    t_valid = 1 + lengths // hop  # (B,)
+    frame_idx = jnp.arange(t)[None, :]
+    mask = (frame_idx < t_valid[:, None]).astype(mel.dtype)  # (B, T)
+    mask3 = mask[:, :, None]
+
+    if mode == "torchaudio":
+        db = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
+        if normalize:
+            cnt = (t_valid.astype(mel.dtype) * n_mels)[:, None, None]
+            mean = jnp.sum(db * mask3, axis=(1, 2), keepdims=True) / cnt
+            var = jnp.sum(jnp.square(db - mean) * mask3, axis=(1, 2),
+                          keepdims=True) / jnp.maximum(cnt - 1.0, 1.0)
+            db = (db - mean) / (jnp.sqrt(var) + eps)
+    else:  # librosa mic path
+        ref = jnp.max(jnp.where(mask3 > 0, mel, 0.0), axis=(1, 2), keepdims=True)
+        db = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
+        db = db - 10.0 * jnp.log10(jnp.maximum(ref, 1e-10))
+        peak = jnp.max(jnp.where(mask3 > 0, db, -jnp.inf), axis=(1, 2),
+                       keepdims=True)
+        db = jnp.maximum(db, peak - 80.0)
+        if normalize:
+            db = (db - gmean) / gstd
+
+    db = db * mask3  # zero the padded frames (reference pads with zeros)
+    db = jnp.swapaxes(db, 1, 2)  # (B, n_mels, T)
+    if pad_to_target:
+        if t >= target_len:
+            db = db[:, :, :target_len]
+        else:
+            db = jnp.pad(db, ((0, 0), (0, 0), (0, target_len - t)))
+    return db
+
+
+def log_mel_frontend(
+    waveforms: jax.Array,
+    lengths: jax.Array,
+    params: FrontendParams,
+    normalize: bool = True,
+    pad_to_target: bool = True,
+) -> jax.Array:
+    """Batched waveforms -> normalized log-mel features.
+
+    Args:
+      waveforms: (B, L_max) float32, zero-padded beyond each true length.
+        L_max should already respect the 5 s cap (``AudioConfig.max_samples``).
+      lengths: (B,) int32 true sample counts.
+      params: from :func:`make_frontend_params`.
+      normalize: apply the per-utterance (torchaudio mode) or global
+        (librosa mode) normalization.
+      pad_to_target: pad/trim time axis to ``params.target_length``.
+
+    Returns:
+      (B, n_mels, target_length) float32 (or (B, n_mels, T) if not padded).
+    """
+    static = (params.n_fft, params.hop_length, params.n_mels,
+              params.target_length, params.frontend, params.norm_eps,
+              params.global_mean, params.global_std)
+    return _frontend_impl(waveforms, lengths, params.dft_cos, params.dft_sin,
+                          params.mel_fb, static, normalize, pad_to_target)
