@@ -1,0 +1,111 @@
+"""ctypes bindings for the native C++ DSP library (``native/libsirdsp.so``).
+
+The native library owns the host-side hot loops that the reference delegated
+to torchaudio's C++ backend: audio decode (RIFF/WAVE parser + mpg123 MP3),
+mono mixdown, and bandlimited sinc resampling.  Python falls back to the
+NumPy implementations in :mod:`audio_io` / :mod:`ops.resample` when the
+library has not been built (``native/build.sh``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB_NAMES = ("libsirdsp.so",)
+_lib: Optional[ctypes.CDLL] = None
+_checked = False
+
+
+def _candidate_paths():
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    for name in _LIB_NAMES:
+        yield os.path.join(here, "native", "build", name)
+        yield os.path.join(here, "native", name)
+        yield name
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _checked
+    if _checked:
+        return _lib
+    _checked = True
+    for path in _candidate_paths():
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError:
+            continue
+        try:
+            lib.sirdsp_decode_file.restype = ctypes.c_int
+            lib.sirdsp_decode_file.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+                ctypes.POINTER(ctypes.c_longlong),  # num frames
+                ctypes.POINTER(ctypes.c_int),  # channels
+                ctypes.POINTER(ctypes.c_int),  # sample rate
+            ]
+            lib.sirdsp_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+            lib.sirdsp_resample.restype = ctypes.c_longlong
+            lib.sirdsp_resample.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_longlong,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ]
+            lib.sirdsp_version.restype = ctypes.c_int
+        except AttributeError:
+            continue
+        _lib = lib
+        break
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def decode_file(path: str) -> Tuple[np.ndarray, int]:
+    """Decode via the native library -> (float32 (frames, channels), rate)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native libsirdsp not built")
+    data_ptr = ctypes.POINTER(ctypes.c_float)()
+    frames = ctypes.c_longlong(0)
+    channels = ctypes.c_int(0)
+    rate = ctypes.c_int(0)
+    ret = lib.sirdsp_decode_file(path.encode(), ctypes.byref(data_ptr),
+                                 ctypes.byref(frames), ctypes.byref(channels),
+                                 ctypes.byref(rate))
+    if ret != 0:
+        raise RuntimeError(f"sirdsp decode failed (code {ret}) for {path}")
+    try:
+        n = frames.value * channels.value
+        x = np.ctypeslib.as_array(data_ptr, shape=(n,)).copy()
+    finally:
+        lib.sirdsp_free(data_ptr)
+    return x.reshape(frames.value, channels.value), rate.value
+
+
+def resample(x: np.ndarray, orig_freq: int, new_freq: int,
+             lowpass_filter_width: int = 6,
+             rolloff: float = 0.99) -> np.ndarray:
+    """Native sinc resample of a mono float32 signal."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native libsirdsp not built")
+    x = np.ascontiguousarray(x, dtype=np.float32).reshape(-1)
+    out_ptr = ctypes.POINTER(ctypes.c_float)()
+    n_out = lib.sirdsp_resample(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(x),
+        int(orig_freq), int(new_freq), int(lowpass_filter_width),
+        float(rolloff), ctypes.byref(out_ptr))
+    if n_out < 0:
+        raise RuntimeError(f"sirdsp resample failed (code {n_out})")
+    try:
+        out = np.ctypeslib.as_array(out_ptr, shape=(n_out,)).copy()
+    finally:
+        lib.sirdsp_free(out_ptr)
+    return out
