@@ -18,6 +18,16 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax  # noqa: E402
+
+# The container's sitecustomize force-registers the TPU tunnel backend and
+# sets jax_platforms="axon,cpu" programmatically, overriding the env var —
+# pin tests back to CPU explicitly.
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
