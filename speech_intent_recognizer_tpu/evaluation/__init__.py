@@ -1,0 +1,15 @@
+from speech_intent_recognizer_tpu.evaluation.metrics import (
+    accuracy_score,
+    classification_report_dict,
+    confusion_matrix,
+    format_classification_report,
+)
+from speech_intent_recognizer_tpu.evaluation.evaluate import evaluate_dataset
+
+__all__ = [
+    "accuracy_score",
+    "classification_report_dict",
+    "confusion_matrix",
+    "evaluate_dataset",
+    "format_classification_report",
+]

@@ -1,0 +1,113 @@
+"""Test-set evaluation with report artifacts.
+
+Produces the same artifact set as the reference evaluator
+(``scripts/evaluate.py:88-116``): accuracy, an sklearn-style
+``classification_report.txt``, and a confusion matrix saved as both ``.npy``
+and (when matplotlib is present) ``.png`` — under
+``<save_path>/evaluation_results/``.
+
+The prediction loop itself is one jitted batched scan (no per-batch host
+sync); the class count is read from the loaded checkpoint like the
+reference's ``fc.weight``-shape trick rather than hardcoded
+(fixing the quirk at ``evaluate.py:44-45``).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speech_intent_recognizer_tpu.evaluation import metrics as M
+
+logger = logging.getLogger(__name__)
+
+
+def predict_dataset(model, variables, features, batch_size: int = 64):
+    """Batched argmax predictions + probabilities for a device dataset."""
+    n = int(features.shape[0])
+    bs = min(batch_size, n)
+    steps = -(-n // bs)
+    total = steps * bs
+    idx = jnp.asarray(np.minimum(np.arange(total), n - 1).reshape(steps, bs))
+
+    @jax.jit
+    def run(variables, features):
+        def body(_, ix):
+            logits = model.apply(variables, features[ix], train=False)
+            return None, logits
+
+        _, logits = jax.lax.scan(body, None, idx)
+        return logits.reshape(total, -1)
+
+    logits = np.asarray(run(variables, features))[:n]
+    probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+    return np.argmax(logits, axis=-1), probs, logits
+
+
+def evaluate_dataset(
+    model,
+    variables,
+    features,
+    labels,
+    label_map: Dict[str, int],
+    results_dir: Optional[str] = None,
+    batch_size: int = 64,
+) -> Dict:
+    """Evaluate and (optionally) write the report artifact set."""
+    inv = {v: k for k, v in label_map.items()}
+    y_true = np.asarray(labels)
+    y_pred, probs, _ = predict_dataset(model, variables, features, batch_size)
+
+    num_classes = probs.shape[1]
+    names = [inv.get(i, str(i)) for i in range(num_classes)]
+    report = M.classification_report_dict(y_true, y_pred, names, num_classes)
+    cm = M.confusion_matrix(y_true, y_pred, num_classes)
+    acc = report["accuracy"]
+    logger.info("test accuracy: %.4f", acc)
+
+    if results_dir is not None:
+        os.makedirs(results_dir, exist_ok=True)
+        text = M.format_classification_report(report)
+        with open(os.path.join(results_dir, "classification_report.txt"),
+                  "w") as f:
+            f.write(f"Test Accuracy: {acc:.4f}\n\n")
+            f.write(text)
+        np.save(os.path.join(results_dir, "confusion_matrix.npy"), cm)
+        with open(os.path.join(results_dir, "metrics.json"), "w") as f:
+            json.dump(report, f, indent=2)
+        _plot_confusion(cm, names,
+                        os.path.join(results_dir, "confusion_matrix.png"))
+        logger.info("evaluation artifacts written to %s", results_dir)
+
+    return {"accuracy": acc, "report": report, "confusion_matrix": cm,
+            "predictions": y_pred, "probabilities": probs}
+
+
+def _plot_confusion(cm: np.ndarray, names, path: str) -> None:
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:  # pragma: no cover
+        logger.warning("matplotlib unavailable; skipping %s", path)
+        return
+    fig, ax = plt.subplots(figsize=(10, 8))
+    im = ax.imshow(cm, cmap="Blues")
+    fig.colorbar(im, ax=ax)
+    ax.set_xticks(range(len(names)))
+    ax.set_yticks(range(len(names)))
+    ax.set_xticklabels(names, rotation=45, ha="right", fontsize=6)
+    ax.set_yticklabels(names, fontsize=6)
+    ax.set_xlabel("Predicted")
+    ax.set_ylabel("True")
+    ax.set_title("Confusion matrix")
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)

@@ -1,0 +1,154 @@
+"""Offline inference: single file, batch directory, interactive REPL.
+
+Counterpart of the reference's ``scripts/test_model.py`` (predict + top-3
+report, batch mode, interactive mode), with one deliberate fix: inference
+uses the *same* front-end as training (the reference's mic path used a
+different librosa pipeline with global normalization —
+``scripts/testing.py:189-217`` — a train/serve skew this framework
+eliminates by construction).
+
+The whole feature+forward path is one jitted function: waveform in, probs
+out — this is the fused path the benchmark measures.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from functools import partial
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speech_intent_recognizer_tpu.config.schema import AudioConfig
+from speech_intent_recognizer_tpu.data.audio_io import load_audio
+from speech_intent_recognizer_tpu.evaluation.metrics import top_k_predictions
+from speech_intent_recognizer_tpu.models.cnn_gru import CNNAudioGRU
+from speech_intent_recognizer_tpu.ops.frontend_jax import (
+    log_mel_frontend, make_frontend_params)
+
+logger = logging.getLogger(__name__)
+
+_AUDIO_EXTS = (".wav", ".mp3", ".flac")
+
+
+class Predictor:
+    """End-to-end (waveform -> intent) predictor with a fused jitted path."""
+
+    def __init__(self, model, variables: dict, label_map: Dict[str, int],
+                 audio_cfg: Optional[AudioConfig] = None):
+        self.model = model
+        self.variables = variables
+        self.label_map = label_map
+        self.inv_label_map = {v: k for k, v in label_map.items()}
+        self.audio_cfg = audio_cfg or AudioConfig()
+        self.frontend_params = make_frontend_params(self.audio_cfg)
+        self._fn = None
+
+    @classmethod
+    def from_checkpoint(cls, model_path: str, label_map_path: str,
+                        audio_cfg: Optional[AudioConfig] = None,
+                        num_classes: Optional[int] = None) -> "Predictor":
+        from speech_intent_recognizer_tpu.data.labelmap import load_label_map
+        from speech_intent_recognizer_tpu.train.checkpoint import (
+            load_model_checkpoint)
+
+        label_map = load_label_map(label_map_path)
+        variables = load_model_checkpoint(model_path)
+        if num_classes is None:
+            # infer from the classifier head (reference
+            # test_tts_samples.py:46-48 trick)
+            fc_kernel = variables["params"]["fc"]["kernel"]
+            num_classes = int(np.asarray(fc_kernel).shape[-1])
+        model = CNNAudioGRU(num_classes=num_classes)
+        variables = {
+            "params": variables["params"],
+            "batch_stats": variables.get("batch_stats", {}),
+        }
+        return cls(model, variables, label_map, audio_cfg)
+
+    # ----------------------------------------------------------- fused path
+
+    def _build(self):
+        model = self.model
+        fe = self.frontend_params
+
+        @partial(jax.jit, static_argnums=())
+        def fused(variables, waveforms, lengths):
+            feats = log_mel_frontend(waveforms, lengths, fe)
+            logits = model.apply(variables, feats, train=False)
+            return jax.nn.softmax(logits, axis=-1)
+
+        return fused
+
+    def predict_waveform_batch(self, waveforms: np.ndarray,
+                               lengths: np.ndarray) -> np.ndarray:
+        """(B, max_samples) float32 + (B,) lengths -> (B, C) probabilities."""
+        if self._fn is None:
+            self._fn = self._build()
+        return np.asarray(self._fn(self.variables, jnp.asarray(waveforms),
+                                   jnp.asarray(lengths, jnp.int32)))
+
+    # ------------------------------------------------------------- file API
+
+    def _load_buffer(self, audio_path: str):
+        x, _ = load_audio(audio_path,
+                          target_sample_rate=self.audio_cfg.sample_rate)
+        n = min(len(x), self.audio_cfg.max_samples)
+        buf = np.zeros((1, self.audio_cfg.max_samples), np.float32)
+        buf[0, :n] = x[:n]
+        return buf, np.asarray([max(n, 1)], np.int32)
+
+    def predict_file(self, audio_path: str, top_k: int = 3) -> Optional[dict]:
+        """Reference ``predict`` result shape (``test_model.py:136-140``)."""
+        try:
+            buf, lengths = self._load_buffer(audio_path)
+        except Exception as e:
+            logger.error("error processing %s: %s", audio_path, e)
+            return None
+        probs = self.predict_waveform_batch(buf, lengths)[0]
+        pred = int(np.argmax(probs))
+        return {
+            "predicted_label": self.inv_label_map.get(pred, "Unknown"),
+            "confidence": float(probs[pred]),
+            "top_predictions": top_k_predictions(probs, self.inv_label_map,
+                                                 top_k),
+        }
+
+    def predict_array(self, samples: np.ndarray, sample_rate: int,
+                      top_k: int = 3) -> dict:
+        """Predict from an in-memory waveform (the mic-callback path)."""
+        from speech_intent_recognizer_tpu.ops.resample import resample_np
+
+        x = np.asarray(samples, np.float32).reshape(-1)
+        if sample_rate != self.audio_cfg.sample_rate:
+            x = resample_np(x, sample_rate,
+                            self.audio_cfg.sample_rate).astype(np.float32)
+        n = min(len(x), self.audio_cfg.max_samples)
+        buf = np.zeros((1, self.audio_cfg.max_samples), np.float32)
+        buf[0, :n] = x[:n]
+        probs = self.predict_waveform_batch(buf,
+                                            np.asarray([max(n, 1)], np.int32))[0]
+        pred = int(np.argmax(probs))
+        return {
+            "predicted_label": self.inv_label_map.get(pred, "Unknown"),
+            "confidence": float(probs[pred]),
+            "top_predictions": top_k_predictions(probs, self.inv_label_map,
+                                                 top_k),
+        }
+
+    def predict_directory(self, audio_dir: str, top_k: int = 3) -> List[dict]:
+        """Batch mode over a directory (``test_model.py:190-223``)."""
+        files = sorted(
+            os.path.join(audio_dir, f) for f in os.listdir(audio_dir)
+            if f.lower().endswith(_AUDIO_EXTS))
+        results = []
+        for path in files:
+            r = self.predict_file(path, top_k)
+            if r is None:
+                continue
+            r["file"] = os.path.basename(path)
+            results.append(r)
+        return results
