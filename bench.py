@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Benchmark: fused feature+forward throughput (utterances/sec/chip).
+
+Measures the production inference path — raw 5 s waveforms through the
+GEMM-native log-mel front-end and the CNNAudioGRU classifier, one jitted
+program — on the available accelerator, and compares against a single-core
+CPU baseline (NumPy golden front-end + CPU-jit forward ≈ the reference's
+librosa/torch CPU path; BASELINE.md targets >=10x that).
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _speech_like(rng, shape):
+    t = np.arange(shape[-1]) / 16000.0
+    base = 0.25 * np.sin(2 * np.pi * 220.0 * t)[None, :]
+    return (base + 0.05 * rng.standard_normal(shape)).astype(np.float32)
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from speech_intent_recognizer_tpu.config.schema import AudioConfig
+    from speech_intent_recognizer_tpu.models.cnn_gru import (
+        CNNAudioGRU, init_model)
+    from speech_intent_recognizer_tpu.ops.frontend_jax import (
+        log_mel_frontend, make_frontend_params)
+    from speech_intent_recognizer_tpu.ops import frontend_numpy as golden
+
+    audio_cfg = AudioConfig()
+    fe = make_frontend_params(audio_cfg)
+    model = CNNAudioGRU(num_classes=31, compute_dtype=jnp.bfloat16)
+    variables = init_model(model, jax.random.key(0),
+                           (1, audio_cfg.n_mels, audio_cfg.mel_spec_length))
+
+    def forward(variables, waveforms, lengths):
+        feats = log_mel_frontend(waveforms, lengths, fe)
+        return model.apply(variables, feats, train=False)
+
+    fused = jax.jit(forward)
+
+    batch = 256
+    rng = np.random.default_rng(0)
+    waveforms = jnp.asarray(_speech_like(rng, (batch, audio_cfg.max_samples)))
+    lengths = jnp.full((batch,), audio_cfg.max_samples, jnp.int32)
+
+    # warmup + compile
+    fused(variables, waveforms, lengths).block_until_ready()
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fused(variables, waveforms, lengths)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    tpu_rate = batch * iters / dt
+
+    # ------- CPU baseline: golden numpy front-end + CPU forward -------
+    try:
+        cpu_dev = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu_dev = None
+    k = 4
+    wf_np = np.asarray(waveforms[:k])
+    t0 = time.perf_counter()
+    feats_np = np.stack([
+        golden.pad_or_trim_np(golden.log_mel_spectrogram_np(w),
+                              audio_cfg.mel_spec_length)
+        for w in wf_np])
+    t_feat = time.perf_counter() - t0
+
+    t_fwd = 0.0
+    if cpu_dev is not None:
+        model_cpu = CNNAudioGRU(num_classes=31)
+        vars_cpu = jax.device_put(jax.device_get(variables), cpu_dev)
+        fwd_cpu = jax.jit(
+            lambda v, x: model_cpu.apply(v, x, train=False))
+        x_cpu = jax.device_put(feats_np, cpu_dev)
+        fwd_cpu(vars_cpu, x_cpu).block_until_ready()  # compile
+        t0 = time.perf_counter()
+        fwd_cpu(vars_cpu, x_cpu).block_until_ready()
+        t_fwd = time.perf_counter() - t0
+    cpu_rate = k / (t_feat + t_fwd)
+
+    print(json.dumps({
+        "metric": "fused_feature_forward_throughput",
+        "value": round(tpu_rate, 2),
+        "unit": "utterances/sec/chip",
+        "vs_baseline": round(tpu_rate / max(cpu_rate, 1e-9), 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

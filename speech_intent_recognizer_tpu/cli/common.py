@@ -1,0 +1,45 @@
+"""Shared CLI plumbing: logging, config/flag merging, model loading."""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+from typing import Optional
+
+from speech_intent_recognizer_tpu.config import Config, load_config
+
+
+def setup_logging(level=logging.INFO) -> logging.Logger:
+    logging.basicConfig(
+        level=level,
+        format="%(asctime)s - %(levelname)s - %(message)s",
+        handlers=[logging.StreamHandler(sys.stdout)],
+        force=True,
+    )
+    # third-party checkpoint/compile chatter stays at WARNING
+    for noisy in ("orbax", "absl", "jax", "etils"):
+        logging.getLogger(noisy).setLevel(logging.WARNING)
+    return logging.getLogger("sir_tpu")
+
+
+def load_config_or_default(path: Optional[str]) -> Config:
+    if path and os.path.exists(path):
+        return load_config(path)
+    if path:
+        raise FileNotFoundError(f"config not found: {path}")
+    return Config.from_dict({})
+
+
+def add_config_arg(parser: argparse.ArgumentParser,
+                   default: str = "configs/config.yaml") -> None:
+    parser.add_argument("--config", type=str, default=default,
+                        help="path to YAML config")
+
+
+def make_predictor(model_path: str, label_map_path: str, cfg: Config):
+    from speech_intent_recognizer_tpu.infer.predict import Predictor
+
+    return Predictor.from_checkpoint(model_path, label_map_path,
+                                     audio_cfg=cfg.audio)

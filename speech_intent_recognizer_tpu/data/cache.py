@@ -110,7 +110,7 @@ def precompute_features(
             lengths = np.concatenate([lengths, np.ones(pad, np.int32)])
         out = log_mel_frontend(jnp.asarray(buf),
                                jnp.asarray(np.maximum(lengths, 1)), params)
-        out = np.asarray(out)[: len(chunk)]
+        out = np.array(out)[: len(chunk)]  # copy: jax arrays are read-only
         out[~ok] = 0.0  # zero-feature fallback for failed decodes
         feats[start : start + len(chunk)] = out
         ok_all[start : start + len(chunk)] = ok

@@ -249,7 +249,11 @@ class Trainer:
                 f"val_acc={val_m['acc']:.4f} ({dt:.1f}s)")
 
             improved = val_m["acc"] > result.best_val_acc + cfg.early_stop_delta
-            if val_m["acc"] > result.best_val_acc:
+            # ">= on first save": unlike the reference (train.py:281, which
+            # can end a degenerate run with no checkpoint at all), always
+            # export a best model once.
+            if (val_m["acc"] > result.best_val_acc
+                    or result.best_variables is None):
                 result.best_val_acc = val_m["acc"]
                 result.best_variables = {
                     "params": jax.device_get(state.params),

@@ -31,6 +31,17 @@ except Exception:
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Best-effort build of the native DSP library so its tests run (cheap; ~5 s).
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if not os.path.exists(os.path.join(_REPO, "native", "build", "libsirdsp.so")):
+    import subprocess
+
+    try:
+        subprocess.run([os.path.join(_REPO, "native", "build.sh")],
+                       check=False, capture_output=True, timeout=120)
+    except Exception:
+        pass
+
 
 @pytest.fixture(scope="session")
 def rng():

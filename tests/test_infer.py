@@ -1,0 +1,164 @@
+"""Inference tests: VAD segmentation, streaming front-end parity with the
+offline front-end, predictor end-to-end on real audio, partial hypotheses."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from speech_intent_recognizer_tpu.config.schema import AudioConfig
+from speech_intent_recognizer_tpu.infer.streaming import (
+    StreamingFeaturizer, StreamingRecognizer)
+from speech_intent_recognizer_tpu.infer.vad import EnergyVAD, VADSegmenter
+
+
+def _speech_like(rng, n, amp=0.2):
+    return (amp * np.sin(2 * np.pi * 300 * np.arange(n) / 16000)
+            + 0.02 * rng.standard_normal(n)).astype(np.float32)
+
+
+class TestVAD:
+    def test_energy_threshold(self, rng):
+        vad = EnergyVAD(threshold=0.01)
+        assert vad.is_speech(_speech_like(rng, 1024))
+        assert not vad.is_speech(np.zeros(1024, np.float32))
+
+    def test_segmenter_detects_utterance(self, rng):
+        seg = VADSegmenter(silence_limit=0.5, prior_recording=0.25)
+        speech = _speech_like(rng, 16000)  # 1 s of speech
+        silence = np.zeros(16000, np.float32)
+        stream = np.concatenate([silence[:4096], speech, silence])
+        utterances = []
+        for i in range(0, len(stream) - 1024, 1024):
+            got = seg.feed(stream[i : i + 1024])
+            if got is not None:
+                utterances.append(got)
+        assert len(utterances) == 1
+        # captured utterance covers the speech (plus pre-roll and silence tail)
+        assert len(utterances[0]) >= 16000
+
+    def test_flush_returns_partial(self, rng):
+        seg = VADSegmenter()
+        seg.feed(_speech_like(rng, 1024))
+        out = seg.flush()
+        assert out is not None and len(out) >= 1024
+
+
+class TestStreamingFeaturizer:
+    @pytest.mark.parametrize("n", [5000, 16000, 40001])
+    def test_matches_offline_frontend(self, rng, n):
+        from speech_intent_recognizer_tpu.ops.frontend_jax import (
+            log_mel_frontend, make_frontend_params)
+
+        cfg = AudioConfig()
+        x = _speech_like(rng, n)
+        params = make_frontend_params(cfg)
+        buf = np.zeros((1, cfg.max_samples), np.float32)
+        buf[0, :n] = x
+        ref = np.asarray(log_mel_frontend(
+            jnp.asarray(buf), jnp.asarray([n], np.int32), params))[0]
+
+        fz = StreamingFeaturizer(audio_cfg=cfg)
+        for i in range(0, n, 1024):  # mic-sized chunks
+            fz.feed(x[i : i + 1024])
+        got = fz.finalize()
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+    def test_incremental_frame_counts(self, rng):
+        cfg = AudioConfig()
+        fz = StreamingFeaturizer(audio_cfg=cfg)
+        x = _speech_like(rng, 8192)
+        done = 0
+        for i in range(0, len(x), 1024):
+            done = fz.feed(x[i : i + 1024])
+        # frames available without the tail pad: (n + pad - n_fft)//hop + 1
+        assert done == (8192 + 512 - 1024) // 512 + 1
+
+    def test_partial_features_shape(self, rng):
+        cfg = AudioConfig()
+        fz = StreamingFeaturizer(audio_cfg=cfg)
+        fz.feed(_speech_like(rng, 4096))
+        out = fz.partial_features()
+        assert out.shape == (64, 200)
+
+
+class TestStreamingRecognizer:
+    @pytest.fixture(scope="class")
+    def predictor(self):
+        from speech_intent_recognizer_tpu.infer.predict import Predictor
+        from speech_intent_recognizer_tpu.models.cnn_gru import (
+            CNNAudioGRU, init_model)
+
+        model = CNNAudioGRU(num_classes=4)
+        variables = init_model(model, jax.random.key(0))
+        label_map = {f"intent_{i}": i for i in range(4)}
+        return Predictor(model, variables, label_map)
+
+    def test_end_to_end_utterance(self, predictor, rng):
+        rec = StreamingRecognizer(predictor, silence_limit=0.5)
+        speech = _speech_like(rng, 16000)
+        silence = np.zeros(12000, np.float32)
+        stream = np.concatenate([speech, silence])
+        result = None
+        for i in range(0, len(stream) - 1024, 1024):
+            r = rec.feed(stream[i : i + 1024])
+            if r is not None:
+                result = r
+        assert result is not None
+        assert result["predicted_label"].startswith("intent_")
+        assert 0.0 <= result["confidence"] <= 1.0
+        assert len(result["top_predictions"]) == 3
+
+    def test_partial_result_midstream(self, predictor, rng):
+        rec = StreamingRecognizer(predictor, silence_limit=1.0)
+        speech = _speech_like(rng, 8192)
+        for i in range(0, len(speech), 1024):
+            rec.feed(speech[i : i + 1024])
+        assert rec.recording
+        partial = rec.partial_result()
+        assert partial is not None
+        assert partial["predicted_label"].startswith("intent_")
+
+    def test_streaming_equals_offline_prediction(self, predictor, rng):
+        """The streaming path must reproduce the offline predictor exactly
+        (fixes the reference's train/serve feature mismatch,
+        testing.py:189-217)."""
+        n = 20000
+        x = _speech_like(rng, n)
+        offline = predictor.predict_array(x, 16000)
+
+        rec = StreamingRecognizer(predictor, silence_limit=0.25,
+                                  threshold=0.005, prior_recording=0.0)
+        stream = np.concatenate([x, np.zeros(8000, np.float32)])
+        result = None
+        for i in range(0, len(stream) - 1024, 1024):
+            r = rec.feed(stream[i : i + 1024])
+            if r is not None:
+                result = r
+                break
+        assert result is not None
+        assert result["predicted_label"] == offline["predicted_label"]
+        # silence tail inside the VAD window shifts features slightly; the
+        # decision and confidence must still agree closely
+        assert abs(result["confidence"] - offline["confidence"]) < 0.05
+
+
+class TestPredictorFiles:
+    def test_predict_reference_corpus_file(self, reference_mic_dir):
+        import os
+
+        from speech_intent_recognizer_tpu.infer.predict import Predictor
+        from speech_intent_recognizer_tpu.models.cnn_gru import (
+            CNNAudioGRU, init_model)
+
+        model = CNNAudioGRU(num_classes=19)
+        variables = init_model(model, jax.random.key(1))
+        label_map = {f"l{i}": i for i in range(19)}
+        pred = Predictor(model, variables, label_map)
+        r = pred.predict_file(os.path.join(
+            reference_mic_dir, "005_i need the newspaper.wav"))
+        assert r is not None
+        assert r["predicted_label"] in label_map
+        probs = [p["probability"] for p in r["top_predictions"]]
+        assert probs == sorted(probs, reverse=True)
