@@ -44,7 +44,7 @@ def main() -> int:
                            (1, audio_cfg.n_mels, audio_cfg.mel_spec_length))
 
     def forward(variables, waveforms, lengths):
-        feats = log_mel_frontend(waveforms, lengths, fe)
+        feats = log_mel_frontend(waveforms, lengths, fe, backend="auto")
         return model.apply(variables, feats, train=False)
 
     fused = jax.jit(forward)
@@ -66,10 +66,6 @@ def main() -> int:
     tpu_rate = batch * iters / dt
 
     # ------- CPU baseline: golden numpy front-end + CPU forward -------
-    try:
-        cpu_dev = jax.devices("cpu")[0]
-    except RuntimeError:
-        cpu_dev = None
     k = 4
     wf_np = np.asarray(waveforms[:k])
     t0 = time.perf_counter()
@@ -80,16 +76,21 @@ def main() -> int:
     t_feat = time.perf_counter() - t0
 
     t_fwd = 0.0
+    try:
+        cpu_dev = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu_dev = None
     if cpu_dev is not None:
-        model_cpu = CNNAudioGRU(num_classes=31)
-        vars_cpu = jax.device_put(jax.device_get(variables), cpu_dev)
-        fwd_cpu = jax.jit(
-            lambda v, x: model_cpu.apply(v, x, train=False))
-        x_cpu = jax.device_put(feats_np, cpu_dev)
-        fwd_cpu(vars_cpu, x_cpu).block_until_ready()  # compile
-        t0 = time.perf_counter()
-        fwd_cpu(vars_cpu, x_cpu).block_until_ready()
-        t_fwd = time.perf_counter() - t0
+        with jax.default_device(cpu_dev):
+            model_cpu = CNNAudioGRU(num_classes=31)
+            vars_cpu = jax.device_put(jax.device_get(variables), cpu_dev)
+            fwd_cpu = jax.jit(
+                lambda v, x: model_cpu.apply(v, x, train=False))
+            x_cpu = jax.device_put(feats_np, cpu_dev)
+            fwd_cpu(vars_cpu, x_cpu).block_until_ready()  # compile
+            t0 = time.perf_counter()
+            fwd_cpu(vars_cpu, x_cpu).block_until_ready()
+            t_fwd = time.perf_counter() - t0
     cpu_rate = k / (t_feat + t_fwd)
 
     print(json.dumps({

@@ -109,7 +109,8 @@ def precompute_features(
                                                 np.float32)])
             lengths = np.concatenate([lengths, np.ones(pad, np.int32)])
         out = log_mel_frontend(jnp.asarray(buf),
-                               jnp.asarray(np.maximum(lengths, 1)), params)
+                               jnp.asarray(np.maximum(lengths, 1)), params,
+                               backend="auto")
         out = np.array(out)[: len(chunk)]  # copy: jax arrays are read-only
         out[~ok] = 0.0  # zero-feature fallback for failed decodes
         feats[start : start + len(chunk)] = out

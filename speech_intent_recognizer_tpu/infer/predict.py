@@ -77,7 +77,7 @@ class Predictor:
 
         @partial(jax.jit, static_argnums=())
         def fused(variables, waveforms, lengths):
-            feats = log_mel_frontend(waveforms, lengths, fe)
+            feats = log_mel_frontend(waveforms, lengths, fe, backend="auto")
             logits = model.apply(variables, feats, train=False)
             return jax.nn.softmax(logits, axis=-1)
 

@@ -92,6 +92,12 @@ def make_frontend_params(
     )
 
 
+def default_backend_choice() -> str:
+    """Pallas fused kernel on TPU (measured ~1.3x the XLA path); plain XLA
+    elsewhere (the kernel would run interpreted off-TPU)."""
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
 def _prepare_one(x: jax.Array, length: jax.Array, pad: int, reflect: bool) -> jax.Array:
     """Center-pad one zero-padded waveform; returns (L_max + 2*pad,).
 
@@ -139,9 +145,10 @@ def _mel_power(frames: jax.Array, p: FrontendParams, precision) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("params_static", "normalize", "pad_to_target"))
+    jax.jit,
+    static_argnames=("params_static", "normalize", "pad_to_target", "backend"))
 def _frontend_impl(waveforms, lengths, dft_cos, dft_sin, mel_fb,
-                   params_static, normalize, pad_to_target):
+                   params_static, normalize, pad_to_target, backend="xla"):
     (n_fft, hop, n_mels, target_len, mode, eps, gmean, gstd) = params_static
     p = FrontendParams(dft_cos, dft_sin, mel_fb, n_fft, hop, n_mels, 0,
                        target_len, mode, eps, gmean, gstd)
@@ -151,7 +158,24 @@ def _frontend_impl(waveforms, lengths, dft_cos, dft_sin, mel_fb,
         waveforms, lengths)
     frames = frame_signal(prepared, n_fft, hop)  # (B, T, n_fft)
     b, t, _ = frames.shape
+    if backend == "pallas":
+        from speech_intent_recognizer_tpu.ops.frontend_pallas import (
+            mel_db_pallas)
+
+        db = mel_db_pallas(frames.reshape(b * t, n_fft), p).reshape(
+            b, t, n_mels)
+        return _finish(db, lengths, p, normalize, pad_to_target, is_db=True)
     mel = _mel_power(frames, p, jax.lax.Precision.HIGHEST)  # (B, T, n_mels)
+    return _finish(mel, lengths, p, normalize, pad_to_target, is_db=False)
+
+
+def _finish(mel, lengths, p, normalize, pad_to_target, is_db):
+    """Shared tail: dB conversion (unless the kernel already fused it),
+    masked per-utterance / global normalization, zero-pad, layout."""
+    n_fft, hop = p.n_fft, p.hop_length
+    n_mels, target_len = p.n_mels, p.target_length
+    mode, eps, gmean, gstd = p.frontend, p.norm_eps, p.global_mean, p.global_std
+    b, t, _ = mel.shape
 
     # Valid frames per utterance: center=True gives 1 + length // hop.
     t_valid = 1 + lengths // hop  # (B,)
@@ -160,7 +184,7 @@ def _frontend_impl(waveforms, lengths, dft_cos, dft_sin, mel_fb,
     mask3 = mask[:, :, None]
 
     if mode == "torchaudio":
-        db = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
+        db = mel if is_db else 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
         if normalize:
             cnt = (t_valid.astype(mel.dtype) * n_mels)[:, None, None]
             mean = jnp.sum(db * mask3, axis=(1, 2), keepdims=True) / cnt
@@ -193,6 +217,7 @@ def log_mel_frontend(
     params: FrontendParams,
     normalize: bool = True,
     pad_to_target: bool = True,
+    backend: str = "xla",
 ) -> jax.Array:
     """Batched waveforms -> normalized log-mel features.
 
@@ -208,8 +233,13 @@ def log_mel_frontend(
     Returns:
       (B, n_mels, target_length) float32 (or (B, n_mels, T) if not padded).
     """
+    if backend == "auto":
+        backend = default_backend_choice()
+    if backend == "pallas" and params.frontend != "torchaudio":
+        raise ValueError("pallas backend supports the torchaudio front-end")
     static = (params.n_fft, params.hop_length, params.n_mels,
               params.target_length, params.frontend, params.norm_eps,
               params.global_mean, params.global_std)
     return _frontend_impl(waveforms, lengths, params.dft_cos, params.dft_sin,
-                          params.mel_fb, static, normalize, pad_to_target)
+                          params.mel_fb, static, normalize, pad_to_target,
+                          backend)

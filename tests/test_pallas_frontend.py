@@ -1,0 +1,80 @@
+"""Pallas fused front-end kernel parity (interpreter mode on CPU; the same
+kernel compiles on TPU — exercised by bench.py)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from speech_intent_recognizer_tpu.config.schema import AudioConfig
+from speech_intent_recognizer_tpu.ops import frontend_numpy as golden
+from speech_intent_recognizer_tpu.ops.frontend_jax import (
+    log_mel_frontend, make_frontend_params)
+from speech_intent_recognizer_tpu.ops.frontend_pallas import mel_db_pallas
+
+
+def _rand_wave(rng, n):
+    t = np.arange(n) / 16000
+    return (0.3 * np.sin(2 * np.pi * 440 * t)
+            + 0.05 * rng.standard_normal(n)).astype(np.float32)
+
+
+class TestKernel:
+    def test_mel_db_matches_xla(self, rng):
+        cfg = AudioConfig()
+        p = make_frontend_params(cfg)
+        frames = jnp.asarray(
+            rng.standard_normal((300, cfg.n_fft)).astype(np.float32) * 0.1)
+        got = np.asarray(mel_db_pallas(frames, p))
+
+        c = np.asarray(frames) @ np.asarray(p.dft_cos)
+        s = np.asarray(frames) @ np.asarray(p.dft_sin)
+        mel = (c * c + s * s) @ np.asarray(p.mel_fb)
+        want = 10.0 * np.log10(np.maximum(mel, 1e-10))
+        assert got.shape == (300, 64)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    def test_tile_boundary_sizes(self, rng):
+        cfg = AudioConfig()
+        p = make_frontend_params(cfg)
+        for n in (1, 255, 256, 257):
+            frames = jnp.asarray(
+                rng.standard_normal((n, cfg.n_fft)).astype(np.float32))
+            out = mel_db_pallas(frames, p)
+            assert out.shape == (n, 64)
+            assert np.isfinite(np.asarray(out)).all()
+
+
+class TestEndToEndBackend:
+    def test_pallas_backend_matches_xla_backend(self, rng):
+        cfg = AudioConfig()
+        params = make_frontend_params(cfg)
+        lengths = [16000, 39999]
+        buf = np.zeros((2, cfg.max_samples), np.float32)
+        for i, n in enumerate(lengths):
+            buf[i, :n] = _rand_wave(rng, n)
+        args = (jnp.asarray(buf), jnp.asarray(lengths, np.int32), params)
+        xla = np.asarray(log_mel_frontend(*args, backend="xla"))
+        pls = np.asarray(log_mel_frontend(*args, backend="pallas"))
+        np.testing.assert_allclose(pls, xla, rtol=1e-4, atol=1e-4)
+
+    def test_pallas_backend_matches_golden(self, rng):
+        cfg = AudioConfig()
+        params = make_frontend_params(cfg)
+        n = 24000
+        x = _rand_wave(rng, n)
+        buf = np.zeros((1, cfg.max_samples), np.float32)
+        buf[0, :n] = x
+        out = np.asarray(log_mel_frontend(
+            jnp.asarray(buf), jnp.asarray([n], np.int32), params,
+            backend="pallas"))[0]
+        ref = golden.pad_or_trim_np(golden.log_mel_spectrogram_np(x), 200)
+        np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
+
+    def test_librosa_mode_rejected(self, rng):
+        cfg = AudioConfig(frontend="librosa")
+        params = make_frontend_params(cfg)
+        buf = jnp.zeros((1, cfg.max_samples), jnp.float32)
+        with pytest.raises(ValueError):
+            log_mel_frontend(buf, jnp.asarray([100], np.int32), params,
+                             backend="pallas")
