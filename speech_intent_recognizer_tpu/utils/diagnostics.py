@@ -1,0 +1,68 @@
+"""Device diagnostics.
+
+TPU-native analog of the reference's GPU scratch checks
+(``scripts/utils/{testing_cuda,minimal_gpu_test,looking_for_gpu}.py``):
+device discovery, a compile+matmul smoke test, and a short sustained-matmul
+stress loop with achieved-TFLOPs reporting.  Usable as a module
+(``python -m speech_intent_recognizer_tpu.utils.diagnostics``).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from speech_intent_recognizer_tpu.utils.profiling import device_memory_stats
+
+
+def print_device_info() -> None:
+    print(f"backend: {jax.default_backend()}")
+    print(f"devices ({len(jax.devices())}):")
+    for d in jax.devices():
+        print(f"  {d} (process {d.process_index})")
+    for name, stats in device_memory_stats().items():
+        gb = stats["bytes_in_use"] / 2**30
+        lim = stats["bytes_limit"] / 2**30
+        print(f"  {name}: {gb:.2f} / {lim:.2f} GiB in use")
+
+
+def device_smoke_test(size: int = 1024) -> bool:
+    """Minimal compile + matmul + correctness check on the default device
+    (the reference's CUDA smoke test analog, ``train.py:324-332``)."""
+    x = jnp.ones((size, size), jnp.bfloat16)
+    y = jax.jit(lambda a: a @ a)(x)
+    y.block_until_ready()
+    expected = float(size)
+    got = float(y[0, 0])
+    ok = abs(got - expected) / expected < 1e-2
+    print(f"smoke test: {size}x{size} matmul -> {got} "
+          f"(expect {expected}) {'OK' if ok else 'FAIL'}")
+    return ok
+
+
+def stress_test(seconds: float = 5.0, size: int = 4096) -> Dict[str, float]:
+    """Sustained bf16 matmul loop; reports achieved TFLOP/s."""
+    a = jax.random.normal(jax.random.key(0), (size, size), jnp.bfloat16)
+    f = jax.jit(lambda x: x @ x)
+    f(a).block_until_ready()  # compile
+    n = 0
+    t0 = time.perf_counter()
+    out = a
+    while time.perf_counter() - t0 < seconds:
+        out = f(out)
+        n += 1
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    tflops = 2 * size**3 * n / dt / 1e12
+    print(f"stress: {n} matmuls of {size}^2 in {dt:.1f}s -> "
+          f"{tflops:.1f} TFLOP/s")
+    return {"matmuls": n, "seconds": dt, "tflops": tflops}
+
+
+if __name__ == "__main__":
+    print_device_info()
+    device_smoke_test()
+    stress_test()
