@@ -90,6 +90,8 @@ class DataConfig:
     freq_mask_param: int = 10
     use_waveform_augment: bool = False  # scripts/augment.py capability
     mixup_alpha: float = 0.2
+    use_mixup: bool = False  # the reference declares mixup_alpha but never
+    # wires it (configs/config.yaml:40); opt-in here
 
 
 @dataclass
@@ -159,6 +161,7 @@ _FLAT_KEY_MAP = {
     "use_augmentation": ("data", "use_augmentation"),
     "augment_prob": ("data", "augment_prob"),
     "mixup_alpha": ("data", "mixup_alpha"),
+    "use_mixup": ("data", "use_mixup"),
     "time_mask_param": ("data", "time_mask_param"),
     "freq_mask_param": ("data", "freq_mask_param"),
     "use_waveform_augment": ("data", "use_waveform_augment"),

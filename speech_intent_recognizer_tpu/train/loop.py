@@ -119,8 +119,7 @@ class Trainer:
         aug_prob = cfg.data.augment_prob
         t_mask = cfg.data.time_mask_param
         f_mask = cfg.data.freq_mask_param
-        use_mixup = cfg.data.mixup_alpha > 0 and getattr(
-            cfg.data, "use_mixup", False)
+        use_mixup = cfg.data.mixup_alpha > 0 and cfg.data.use_mixup
 
         def loss_fn(params, batch_stats, x, y_onehot, w, drng):
             logits, mutated = model.apply(

@@ -29,9 +29,27 @@ from typing import Iterable, Optional
 import numpy as np
 
 from speech_intent_recognizer_tpu.data.audio_io import save_wav
-from speech_intent_recognizer_tpu.data.manifest import read_manifest
 
 logger = logging.getLogger(__name__)
+
+
+def _read_sentence_sheet(csv_path: str) -> list:
+    """Parse a sentence sheet (reference schema: transcription, action,
+    object, location, label) -> [(text, class_label), ...]."""
+    rows = []
+    with open(csv_path, newline="") as f:
+        for row in csv.DictReader(f):
+            cols = {k.lower().strip(): v for k, v in row.items() if k}
+            text = (cols.get("transcription") or cols.get("text")
+                    or cols.get("sentence") or "")
+            label = cols.get("label") or cols.get("class") or ""
+            if not label and "action" in cols and "object" in cols:
+                label = f"{cols['action']}_{cols['object']}"
+            if text:
+                rows.append((text.strip(), label.strip()))
+    if not rows:
+        raise ValueError(f"no transcriptions found in {csv_path}")
+    return rows
 
 
 def sanitize_filename(text: str, max_len: int = 50) -> str:
@@ -122,9 +140,7 @@ def generate_audio_files(
     """
     os.makedirs(output_dir, exist_ok=True)
     if texts_and_classes is None:
-        m = read_manifest(csv_path, resolve_paths=False)
-        texts = m.extras.get("transcription") or m.paths
-        rows = list(zip(texts, m.labels))
+        rows = _read_sentence_sheet(csv_path)
     else:
         rows = list(texts_and_classes)
 
