@@ -1,0 +1,119 @@
+"""Interop + fault-tolerance tests: PyTorch checkpoint loading end-to-end,
+legacy torch feature-cache migration, corrupt-audio handling."""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+
+class TestTorchCheckpointInterop:
+    @pytest.fixture(scope="class")
+    def torch_ckpt(self, tmp_path_factory):
+        torch = pytest.importorskip("torch")
+        import sys
+
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from test_model import _make_torch_reference
+
+        torch.manual_seed(1)
+        ref = _make_torch_reference(num_classes=19).eval()
+        path = str(tmp_path_factory.mktemp("ckpt") / "best_model.pt")
+        torch.save(ref.state_dict(), path)
+        return path, ref
+
+    def test_predictor_from_pt(self, torch_ckpt, tmp_path, rng):
+        import json
+
+        torch = pytest.importorskip("torch")
+        from speech_intent_recognizer_tpu.infer.predict import Predictor
+
+        path, ref = torch_ckpt
+        lm_path = str(tmp_path / "lm.json")
+        with open(lm_path, "w") as f:
+            json.dump({f"intent_{i}": i for i in range(19)}, f)
+        pred = Predictor.from_checkpoint(path, lm_path)
+        assert pred.model.num_classes == 19  # inferred from fc head
+
+        # feature-level forward must match the torch model
+        feats = rng.standard_normal((2, 64, 200)).astype(np.float32)
+        got = np.asarray(pred.model.apply(pred.variables,
+                                          jnp.asarray(feats), train=False))
+        with torch.no_grad():
+            want = ref(torch.from_numpy(feats)).numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    def test_wrapped_state_dict(self, torch_ckpt, tmp_path):
+        """The historical {'model_state_dict': ...} wrapper
+        (reference test_tts_samples.py:40-43) loads too."""
+        torch = pytest.importorskip("torch")
+        from speech_intent_recognizer_tpu.convert.torch_import import (
+            convert_torch_checkpoint, load_torch_checkpoint)
+
+        path, ref = torch_ckpt
+        wrapped = str(tmp_path / "latest_checkpoint.pt")
+        torch.save({"model_state_dict": ref.state_dict(), "epoch": 7}, wrapped)
+        kwargs, variables = convert_torch_checkpoint(wrapped)
+        assert kwargs["num_classes"] == 19
+        assert "conv1" in variables["params"]
+
+
+class TestLegacyCacheMigration:
+    def test_torch_cache_reads(self, tmp_path, rng):
+        torch = pytest.importorskip("torch")
+        from speech_intent_recognizer_tpu.data.cache import load_torch_cache
+
+        blob = {
+            f"/audio/{i}.wav": {
+                "features": torch.from_numpy(
+                    rng.standard_normal((64, 150)).astype(np.float32)),
+                "label": f"class_{i % 3}",
+            }
+            for i in range(5)
+        }
+        path = str(tmp_path / "train_data_features.pt")
+        torch.save(blob, path)
+        lm = {"class_0": 0, "class_1": 1, "class_2": 2}
+        feats, labels, paths = load_torch_cache(path, lm, target_length=200)
+        assert feats.shape == (5, 64, 200)
+        np.testing.assert_array_equal(feats[:, :, 150:], 0.0)  # padded
+        assert labels.tolist() == [0, 1, 2, 0, 1]
+
+
+class TestFaultTolerance:
+    def test_preprocess_drops_corrupt_files(self, tmp_path):
+        from speech_intent_recognizer_tpu.data.audio_io import save_wav
+        from speech_intent_recognizer_tpu.data.preprocess import (
+            process_manifest)
+
+        good = str(tmp_path / "good.wav")
+        save_wav(good, np.zeros(4000, np.float32), 16000)
+        bad = str(tmp_path / "bad.wav")
+        with open(bad, "wb") as f:
+            f.write(b"this is not audio data at all, not even close!!")
+        missing = str(tmp_path / "missing.wav")
+        csv_path = tmp_path / "m.csv"
+        csv_path.write_text("path,label\n"
+                            f"{good},play\n{bad},play\n{missing},stop\n")
+        m = process_manifest(str(csv_path), validate=True, progress=False)
+        assert m.paths == [good]
+
+    def test_cache_zero_fallback_for_bad_audio(self, tmp_path):
+        from speech_intent_recognizer_tpu.data.cache import (
+            precompute_features)
+        from speech_intent_recognizer_tpu.data.manifest import Manifest
+        from speech_intent_recognizer_tpu.data.audio_io import save_wav
+        from speech_intent_recognizer_tpu.config.schema import AudioConfig
+
+        good = str(tmp_path / "g.wav")
+        save_wav(good, 0.1 * np.sin(np.arange(8000) / 5).astype(np.float32),
+                 16000)
+        m = Manifest(paths=[good, str(tmp_path / "nope.wav")],
+                     labels=["a", "b"])
+        feats, labels, ok, _ = precompute_features(
+            m, {"a": 0, "b": 1}, AudioConfig(), batch_size=2, progress=False)
+        assert ok.tolist() == [True, False]
+        np.testing.assert_array_equal(feats[1], 0.0)
+        assert np.abs(feats[0]).max() > 0
