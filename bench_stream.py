@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Streaming inference latency benchmark.
+
+Replays utterances through the full streaming stack (VAD -> incremental
+log-mel -> finalize -> classifier) and measures the **end-of-speech to
+result** latency: the time between the silence-threshold chunk arriving and
+the intent result being available — the interactive metric of the live mic
+demo (BASELINE.md: measured p50 end-to-end latency).
+
+Prints one JSON line with p50/p90 milliseconds.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+
+    from speech_intent_recognizer_tpu.infer.predict import Predictor
+    from speech_intent_recognizer_tpu.infer.streaming import (
+        StreamingRecognizer)
+    from speech_intent_recognizer_tpu.models.cnn_gru import (
+        CNNAudioGRU, init_model)
+
+    model = CNNAudioGRU(num_classes=31)
+    variables = init_model(model, jax.random.key(0))
+    label_map = {f"intent_{i}": i for i in range(31)}
+    predictor = Predictor(model, variables, label_map)
+
+    rng = np.random.default_rng(0)
+    sr, chunk = 16000, 1024
+    silence_limit = 0.5
+    rec = StreamingRecognizer(predictor, chunk_size=chunk, threshold=0.01,
+                              silence_limit=silence_limit)
+
+    def make_utterance(seconds):
+        n = int(seconds * sr)
+        t = np.arange(n) / sr
+        x = (0.2 * np.sin(2 * np.pi * 280 * t)
+             + 0.02 * rng.standard_normal(n)).astype(np.float32)
+        return np.concatenate([x, np.zeros(int(sr * (silence_limit + 0.2)),
+                                           np.float32)])
+
+    # warmup (compiles the incremental featurizer + classifier)
+    for c in np.array_split(make_utterance(1.0), 40):
+        rec.feed(np.resize(c, chunk))
+    rec.flush()
+
+    latencies = []
+    for trial in range(30):
+        stream = make_utterance(1.0 + (trial % 5) * 0.4)
+        result = None
+        t_end_of_speech = None
+        for i in range(0, len(stream) - chunk, chunk):
+            piece = stream[i : i + chunk]
+            t0 = time.perf_counter()
+            result = rec.feed(piece)
+            if result is not None:
+                t_end_of_speech = time.perf_counter() - t0
+                break
+        if result is None:
+            rec.flush()
+            continue
+        latencies.append(t_end_of_speech * 1000.0)
+
+    lat = np.asarray(latencies)
+    print(json.dumps({
+        "metric": "streaming_end_of_speech_latency",
+        "value": round(float(np.percentile(lat, 50)), 2),
+        "unit": "ms (p50)",
+        "vs_baseline": None,
+        "detail": {"p90_ms": round(float(np.percentile(lat, 90)), 2),
+                   "n": len(latencies)},
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

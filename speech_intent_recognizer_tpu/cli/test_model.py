@@ -11,7 +11,6 @@ import os
 
 from speech_intent_recognizer_tpu.cli.common import (
     add_config_arg, load_config_or_default, make_predictor, setup_logging)
-from speech_intent_recognizer_tpu.infer.mic import print_result
 
 
 def _print_prediction(result: dict) -> None:

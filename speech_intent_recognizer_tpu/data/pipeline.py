@@ -17,9 +17,9 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from speech_intent_recognizer_tpu.config.schema import AudioConfig, Config
+from speech_intent_recognizer_tpu.config.schema import Config
 from speech_intent_recognizer_tpu.data import cache as cache_mod
-from speech_intent_recognizer_tpu.data.manifest import Manifest, read_manifest
+from speech_intent_recognizer_tpu.data.manifest import read_manifest
 
 logger = logging.getLogger(__name__)
 

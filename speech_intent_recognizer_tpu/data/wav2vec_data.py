@@ -56,7 +56,6 @@ def add_train_noise(waveforms, mask, key, prob: float = 0.8,
                     level: float = 1e-3):
     """Train-time additive noise (reference wav2vec dataset semantics)."""
     import jax
-    import jax.numpy as jnp
 
     k1, k2 = jax.random.split(key)
     gate = (jax.random.uniform(k1, (waveforms.shape[0], 1))

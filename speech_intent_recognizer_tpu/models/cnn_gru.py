@@ -26,7 +26,7 @@ TPU-first design choices (not a torch translation):
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp

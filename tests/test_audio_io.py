@@ -3,7 +3,6 @@
 import os
 
 import numpy as np
-import pytest
 
 from speech_intent_recognizer_tpu.data import audio_io
 from speech_intent_recognizer_tpu.data.manifest import read_manifest

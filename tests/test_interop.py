@@ -50,7 +50,7 @@ class TestTorchCheckpointInterop:
         (reference test_tts_samples.py:40-43) loads too."""
         torch = pytest.importorskip("torch")
         from speech_intent_recognizer_tpu.convert.torch_import import (
-            convert_torch_checkpoint, load_torch_checkpoint)
+            convert_torch_checkpoint)
 
         path, ref = torch_ckpt
         wrapped = str(tmp_path / "latest_checkpoint.pt")

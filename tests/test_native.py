@@ -3,7 +3,6 @@ fallback paths. Skipped when native/build/libsirdsp.so has not been built
 (run native/build.sh)."""
 
 import os
-import subprocess
 
 import numpy as np
 import pytest
