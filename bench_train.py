@@ -54,20 +54,24 @@ def main() -> int:
 
     perm, weights = pad_permutation(jax.random.key(1), n_train,
                                     cfg.train.batch_size)
-    # compile + warmup epoch (donated state: rebuild each call)
+    # compile + warmup epoch. Sync by materializing the scalar metrics on
+    # the host (device_get) — block_until_ready alone does not reliably
+    # fence execution through remote-relay backends.
     t0 = time.perf_counter()
     state, m = epoch_fn(state, feats, labels, perm, weights,
                         jax.random.key(2))
-    jax.block_until_ready(m)
+    float(jax.device_get(m["loss"]))
     compile_and_first = time.perf_counter() - t0
 
+    reps = 3
     t0 = time.perf_counter()
-    state, m = epoch_fn(state, feats, labels, perm, weights,
-                        jax.random.key(3))
-    jax.block_until_ready(m)
-    epoch_s = time.perf_counter() - t0
+    for i in range(reps):
+        state, m = epoch_fn(state, feats, labels, perm, weights,
+                            jax.random.key(3 + i))
+        float(jax.device_get(m["loss"]))
+    epoch_s = (time.perf_counter() - t0) / reps
 
-    val = trainer.evaluate(state, vfeats, vlabels)
+    val = trainer.evaluate(state, vfeats, vlabels)  # compiles + syncs
     t0 = time.perf_counter()
     val = trainer.evaluate(state, vfeats, vlabels)
     val_s = time.perf_counter() - t0

@@ -205,8 +205,11 @@ class StreamingRecognizer:
         self._featurizer = StreamingFeaturizer(
             audio_cfg=predictor.audio_cfg)
         self._classify = None
+        self._fused = None
         self._recording = False
         self._silence_chunks = 0
+
+    _TAIL_MAX = 4  # remaining frames at finalize is at most ~2
 
     def _build_classifier(self):
         model = self.predictor.model
@@ -217,6 +220,85 @@ class StreamingRecognizer:
             return jax.nn.softmax(logits, axis=-1)[0]
 
         return classify
+
+    def _build_fused_finalize(self):
+        """End-of-utterance in ONE device call: tail-frame DFT+mel+dB,
+        masked per-utterance normalization, pad, classify.  Collapses the
+        2-3 host->device round trips of the generic finalize path — the
+        dominant cost of end-of-speech latency at batch 1."""
+        model = self.predictor.model
+        p = self._featurizer.params
+        tmax = p.target_length
+        n_mels = p.n_mels
+        eps = p.norm_eps
+
+        @jax.jit
+        def run(variables, mel_buf, count, tail_frames, n_tail):
+            # mel rows for the (masked) tail frames
+            c = jnp.dot(tail_frames, p.dft_cos,
+                        precision=jax.lax.Precision.HIGHEST)
+            s = jnp.dot(tail_frames, p.dft_sin,
+                        precision=jax.lax.Precision.HIGHEST)
+            mel = jnp.dot(c * c + s * s, p.mel_fb,
+                          precision=jax.lax.Precision.HIGHEST)
+            tail_db = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
+
+            rows = count + jnp.arange(self._TAIL_MAX)
+            writable = jnp.logical_and(jnp.arange(self._TAIL_MAX) < n_tail,
+                                       rows < tmax)
+            mel_buf = mel_buf.at[jnp.clip(rows, 0, tmax - 1)].add(
+                jnp.where(writable[:, None], tail_db, 0.0))
+
+            total = count + n_tail
+            rmask = (jnp.arange(tmax) < total)[:, None].astype(jnp.float32)
+            cnt = (total * n_mels).astype(jnp.float32)
+            mean = jnp.sum(mel_buf * rmask) / jnp.maximum(cnt, 1.0)
+            var = (jnp.sum(jnp.square(mel_buf - mean) * rmask)
+                   / jnp.maximum(cnt - 1.0, 1.0))
+            feats = ((mel_buf - mean) / (jnp.sqrt(var) + eps)) * rmask
+            logits = model.apply(variables, feats.T[None], train=False)
+            return jax.nn.softmax(logits, axis=-1)[0]
+
+        return run
+
+    def _fused_finalize(self) -> dict:
+        """Run end-of-utterance via the single-call fast path."""
+        fz = self._featurizer
+        if self._fused is None:
+            self._fused = self._build_fused_finalize()
+        tmax = fz.params.target_length
+        stacked = fz._stack_mel()
+        count = min(stacked.shape[0], tmax)
+        mel_buf = np.zeros((tmax, fz.params.n_mels), np.float32)
+        mel_buf[:count] = stacked[:count]
+
+        # tail frames (host-side slicing only; no device work)
+        n = len(fz._signal)
+        total_frames = min(1 + n // fz.hop, tmax)
+        remaining = max(total_frames - fz._frames_done, 0)
+        remaining = min(remaining, self._TAIL_MAX)
+        tail = np.zeros((self._TAIL_MAX, fz.n_fft), np.float32)
+        if remaining > 0 and n >= 2:
+            sig = fz._signal
+            tail_idx = np.clip(n - 2 - np.arange(fz.pad), 0, n - 1)
+            prepared = np.concatenate([fz._prepared(), sig[tail_idx]])
+            need = (total_frames - 1) * fz.hop + fz.n_fft
+            if len(prepared) < need:
+                prepared = np.pad(prepared, (0, need - len(prepared)))
+            for i in range(remaining):
+                s0 = (fz._frames_done + i) * fz.hop
+                tail[i] = prepared[s0 : s0 + fz.n_fft]
+
+        probs = np.asarray(self._fused(
+            self.predictor.variables, jnp.asarray(mel_buf),
+            jnp.int32(count), jnp.asarray(tail), jnp.int32(remaining)))
+        pred = int(np.argmax(probs))
+        inv = self.predictor.inv_label_map
+        return {
+            "predicted_label": inv.get(pred, "Unknown"),
+            "confidence": float(probs[pred]),
+            "top_predictions": top_k_predictions(probs, inv, 3),
+        }
 
     def _run_classifier(self, feats: np.ndarray) -> dict:
         if self._classify is None:
@@ -258,10 +340,10 @@ class StreamingRecognizer:
         silence_s = (self._silence_chunks * self.chunk_size
                      / self.audio_cfg.sample_rate)
         if silence_s >= self.silence_limit:
-            feats = self._featurizer.finalize()
+            result = self._fused_finalize()
             self._recording = False
             self._featurizer.reset()
-            return self._run_classifier(feats)
+            return result
         return None
 
     def partial_result(self) -> Optional[Dict]:
@@ -273,7 +355,7 @@ class StreamingRecognizer:
     def flush(self) -> Optional[Dict]:
         if not self._recording:
             return None
-        feats = self._featurizer.finalize()
+        result = self._fused_finalize()
         self._recording = False
         self._featurizer.reset()
-        return self._run_classifier(feats)
+        return result

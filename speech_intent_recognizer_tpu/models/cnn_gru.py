@@ -56,7 +56,11 @@ def _gru_direction_scan(x_proj, h0, w_hh, b_hh, reverse: bool):
         h_new = (1.0 - z) * n + z * h
         return h_new, h_new
 
-    _, ys = jax.lax.scan(step, h0, x_proj, reverse=reverse)
+    # Full unroll: after pooling the sequence is only ~25 steps, so the
+    # recurrence is loop-overhead-bound, not FLOP-bound — unrolling lets XLA
+    # software-pipeline the small (B, H) x (H, 3H) matmuls.
+    _, ys = jax.lax.scan(step, h0, x_proj, reverse=reverse,
+                         unroll=min(x_proj.shape[0], 32))
     return ys
 
 
