@@ -41,6 +41,19 @@ def run_pipeline(config_path: str, force_precompute: bool = False,
                  validate_audio: bool = True) -> bool:
     logger = setup_logging()
     logger.info("=== Starting Speech Intent Recognition Pipeline (TPU) ===")
+    try:  # device + memory report (reference run_pipeline.py:45-50 analog)
+        import jax
+
+        from speech_intent_recognizer_tpu.utils.profiling import (
+            device_memory_stats)
+
+        logger.info("backend %s, %d device(s)", jax.default_backend(),
+                    len(jax.devices()))
+        for name, s in device_memory_stats().items():
+            logger.info("%s: %.0fMB used / %.0fMB", name,
+                        s["bytes_in_use"] / 2**20, s["bytes_limit"] / 2**20)
+    except Exception:
+        pass
     cfg = load_config(config_path)
     if force_precompute:
         cfg.data.force_precompute = True

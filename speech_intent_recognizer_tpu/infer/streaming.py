@@ -265,7 +265,8 @@ class StreamingRecognizer:
         """Run end-of-utterance via the single-call fast path."""
         fz = self._featurizer
         if self._fused is None:
-            self._fused = self._build_fused_finalize()
+            self._fused = self._shared_jit("fused_finalize",
+                                           self._build_fused_finalize)
         tmax = fz.params.target_length
         stacked = fz._stack_mel()
         count = min(stacked.shape[0], tmax)
@@ -300,9 +301,21 @@ class StreamingRecognizer:
             "top_predictions": top_k_predictions(probs, inv, 3),
         }
 
+    def _shared_jit(self, key: str, builder):
+        """Compiled functions are cached on the predictor so that many
+        concurrent streaming sessions (serving) share one compilation."""
+        cache = getattr(self.predictor, "_stream_jit_cache", None)
+        if cache is None:
+            cache = {}
+            self.predictor._stream_jit_cache = cache
+        if key not in cache:
+            cache[key] = builder()
+        return cache[key]
+
     def _run_classifier(self, feats: np.ndarray) -> dict:
         if self._classify is None:
-            self._classify = self._build_classifier()
+            self._classify = self._shared_jit("classify",
+                                              self._build_classifier)
         probs = np.asarray(self._classify(self.predictor.variables,
                                           jnp.asarray(feats)))
         pred = int(np.argmax(probs))

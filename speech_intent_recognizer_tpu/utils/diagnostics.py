@@ -62,6 +62,26 @@ def stress_test(seconds: float = 5.0, size: int = 4096) -> Dict[str, float]:
     return {"matmuls": n, "seconds": dt, "tflops": tflops}
 
 
+def audio_loading_benchmark(paths, sample_rate: int = 16000) -> Dict[str, float]:
+    """Time host audio decode+resample over real files (the reference's
+    ``scripts/utils/test_audio_loading.py`` analog)."""
+    from speech_intent_recognizer_tpu.data import native
+    from speech_intent_recognizer_tpu.data.audio_io import load_audio
+
+    t0 = time.perf_counter()
+    total_seconds = 0.0
+    for p in paths:
+        x, _ = load_audio(p, target_sample_rate=sample_rate)
+        total_seconds += len(x) / sample_rate
+    dt = time.perf_counter() - t0
+    rtf = total_seconds / dt if dt else 0.0
+    print(f"decoded {len(paths)} files ({total_seconds:.1f}s audio) in "
+          f"{dt:.2f}s -> {rtf:.0f}x realtime "
+          f"(native={'yes' if native.available() else 'no'})")
+    return {"files": len(paths), "audio_seconds": total_seconds,
+            "wall_seconds": dt, "realtime_factor": rtf}
+
+
 if __name__ == "__main__":
     print_device_info()
     device_smoke_test()
