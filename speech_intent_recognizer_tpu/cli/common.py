@@ -38,8 +38,11 @@ def add_config_arg(parser: argparse.ArgumentParser,
                         help="path to YAML config")
 
 
-def make_predictor(model_path: str, label_map_path: str, cfg: Config):
-    from speech_intent_recognizer_tpu.infer.predict import Predictor
+def make_predictor(model_path: str, label_map_path: str, cfg: Config,
+                   model_type: str = "cnn_gru"):
+    from speech_intent_recognizer_tpu.infer.predict import (
+        Predictor, Wav2VecPredictor)
 
-    return Predictor.from_checkpoint(model_path, label_map_path,
-                                     audio_cfg=cfg.audio)
+    cls = Wav2VecPredictor if model_type == "wav2vec" else Predictor
+    return cls.from_checkpoint(model_path, label_map_path,
+                               audio_cfg=cfg.audio)

@@ -52,10 +52,13 @@ def main(argv=None):
     p.add_argument("--audio", default=None,
                    help="audio file or directory")
     p.add_argument("--interactive", action="store_true")
+    p.add_argument("--model_type", default="cnn_gru",
+                   choices=["cnn_gru", "wav2vec"])
     args = p.parse_args(argv)
 
     cfg = load_config_or_default(args.config)
-    predictor = make_predictor(args.model, args.label_map, cfg)
+    predictor = make_predictor(args.model, args.label_map, cfg,
+                               args.model_type)
 
     if args.interactive or not args.audio:
         interactive_loop(predictor)

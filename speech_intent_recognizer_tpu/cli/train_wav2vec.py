@@ -81,7 +81,8 @@ def main(argv=None):
     save_model(out, {"params": result["best_params"] or
                      jax.device_get(params)},
                meta={"num_classes": num_classes, "model": "wav2vec",
-                     "val_acc": result["best_val_acc"]})
+                     "val_acc": result["best_val_acc"],
+                     "wav2vec_config": model.config.to_dict()})
     logger.info("saved %s (best val acc %.4f)", out, result["best_val_acc"])
     return result
 

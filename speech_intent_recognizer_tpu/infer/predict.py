@@ -152,3 +152,59 @@ class Predictor:
             r["file"] = os.path.basename(path)
             results.append(r)
         return results
+
+
+class Wav2VecPredictor(Predictor):
+    """Predictor over the raw-waveform Wav2VecIntent model.
+
+    Same file/array/directory API as :class:`Predictor`, but the fused path
+    feeds raw waveforms + attention masks to the wav2vec backbone instead of
+    log-mel features.
+    """
+
+    def __init__(self, model, variables: dict, label_map: Dict[str, int],
+                 audio_cfg: Optional[AudioConfig] = None):
+        super().__init__(model, variables, label_map, audio_cfg)
+
+    @classmethod
+    def from_checkpoint(cls, model_path: str, label_map_path: str,
+                        audio_cfg: Optional[AudioConfig] = None,
+                        num_classes: Optional[int] = None,
+                        wav2vec_config=None) -> "Wav2VecPredictor":
+        from speech_intent_recognizer_tpu.data.labelmap import load_label_map
+        from speech_intent_recognizer_tpu.models.wav2vec import (
+            create_wav2vec_intent)
+        from speech_intent_recognizer_tpu.train.checkpoint import (
+            load_model_checkpoint)
+
+        label_map = load_label_map(label_map_path)
+        variables = load_model_checkpoint(model_path)
+        params = variables.get("params", variables)
+        if num_classes is None:
+            num_classes = int(np.asarray(params["fc"]["kernel"]).shape[-1])
+        if wav2vec_config is None:
+            # the trainer writes the backbone config next to the checkpoint
+            import json
+
+            meta_path = os.path.splitext(model_path)[0] + ".json"
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    meta = json.load(f)
+                if "wav2vec_config" in meta:
+                    from transformers import Wav2Vec2Config
+
+                    wav2vec_config = Wav2Vec2Config(**meta["wav2vec_config"])
+        model, _ = create_wav2vec_intent(num_classes, config=wav2vec_config)
+        return cls(model, {"params": params}, label_map, audio_cfg)
+
+    def _build(self):
+        model = self.model
+
+        @jax.jit
+        def fused(variables, waveforms, lengths):
+            mask = (jnp.arange(waveforms.shape[1])[None, :]
+                    < lengths[:, None]).astype(jnp.int32)
+            logits = model.apply(variables, waveforms, mask, train=False)
+            return jax.nn.softmax(logits, axis=-1)
+
+        return fused

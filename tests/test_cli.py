@@ -106,5 +106,18 @@ class TestWav2VecCLI:
                        "--val_csv", csv_path, "--label_map", lm_path,
                        "--small", "--epochs", "1", "--batch_size", "2"])
         assert len(result["history"]) == 1
-        assert os.path.exists(tmp_path / "ckpt" / "wav2vec_intent.msgpack")
+        ckpt = tmp_path / "ckpt" / "wav2vec_intent.msgpack"
+        assert os.path.exists(ckpt)
         assert np.isfinite(result["history"][0]["train_loss"])
+
+        # the saved checkpoint round-trips through the wav2vec predictor
+        from speech_intent_recognizer_tpu.config.schema import AudioConfig
+        from speech_intent_recognizer_tpu.infer.predict import (
+            Wav2VecPredictor)
+
+        pred = Wav2VecPredictor.from_checkpoint(
+            str(ckpt), lm_path, audio_cfg=AudioConfig(max_duration=1.0))
+        with open(csv_path) as f:
+            first_audio = f.read().splitlines()[1].split(",")[0]
+        r = pred.predict_file(first_audio)
+        assert r is not None and r["predicted_label"] in lm
