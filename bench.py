@@ -40,8 +40,17 @@ def main() -> int:
     audio_cfg = AudioConfig()
     fe = make_frontend_params(audio_cfg)
     model = CNNAudioGRU(num_classes=31, compute_dtype=jnp.bfloat16)
-    variables = init_model(model, jax.random.key(0),
-                           (1, audio_cfg.n_mels, audio_cfg.mel_spec_length))
+    # init on CPU (skips a large one-off accelerator compile), then upload
+    try:
+        cpu0 = jax.devices("cpu")[0]
+        with jax.default_device(cpu0):
+            variables = init_model(
+                model, jax.random.key(0),
+                (1, audio_cfg.n_mels, audio_cfg.mel_spec_length))
+        variables = jax.device_put(variables, jax.devices()[0])
+    except RuntimeError:
+        variables = init_model(model, jax.random.key(0),
+                               (1, audio_cfg.n_mels, audio_cfg.mel_spec_length))
 
     def forward(variables, waveforms, lengths):
         feats = log_mel_frontend(waveforms, lengths, fe, backend="auto")
