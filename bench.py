@@ -28,6 +28,9 @@ def _speech_like(rng, shape):
 
 def main() -> int:
     import jax
+
+    from speech_intent_recognizer_tpu.utils.platform import configure_jax
+    configure_jax()
     import jax.numpy as jnp
 
     from speech_intent_recognizer_tpu.config.schema import AudioConfig

@@ -22,6 +22,9 @@ import numpy as np
 def main() -> int:
     import jax
 
+    from speech_intent_recognizer_tpu.utils.platform import configure_jax
+    configure_jax()
+
     from speech_intent_recognizer_tpu.infer.predict import Predictor
     from speech_intent_recognizer_tpu.infer.streaming import (
         StreamingRecognizer)

@@ -28,7 +28,6 @@ def synthesize_corpus(sentence_csv: str, out_dir: str, variants: int,
                       rng: np.random.Generator):
     """variants recordings per sentence with pitch/tempo-style jitter."""
     from speech_intent_recognizer_tpu.data.audio_io import load_audio, save_wav
-    from speech_intent_recognizer_tpu.ops.resample import resample_np
     from speech_intent_recognizer_tpu.tts.generate import (
         _read_sentence_sheet, synthesize_text)
 
@@ -41,9 +40,12 @@ def synthesize_corpus(sentence_csv: str, out_dir: str, variants: int,
         synthesize_text(text, base, engine="synthetic")
         x, sr = load_audio(base)
         for v in range(variants):
-            # resample-jitter (speed/pitch) + noise + gain variation
+            # linear-interp speed/pitch jitter + noise + gain variation
+            # (bandlimited resample_np is overkill here and coprime rate
+            # pairs would build enormous polyphase banks)
             rate = float(rng.uniform(0.9, 1.1))
-            y = resample_np(x, sr, int(sr * rate)).astype(np.float32)
+            pos = np.arange(int(len(x) / rate)) * rate
+            y = np.interp(pos, np.arange(len(x)), x).astype(np.float32)
             y = y * float(rng.uniform(0.6, 1.0))
             y = y + rng.normal(0, 0.005, len(y)).astype(np.float32)
             path = os.path.join(out_dir, f"utt_{idx:04d}_{v:02d}.wav")

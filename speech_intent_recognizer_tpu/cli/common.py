@@ -12,6 +12,9 @@ from speech_intent_recognizer_tpu.config import Config, load_config
 
 
 def setup_logging(level=logging.INFO) -> logging.Logger:
+    from speech_intent_recognizer_tpu.utils.platform import configure_jax
+
+    configure_jax()
     logging.basicConfig(
         level=level,
         format="%(asctime)s - %(levelname)s - %(message)s",

@@ -1,0 +1,41 @@
+"""JAX platform configuration.
+
+Central place for runtime knobs every entry point wants:
+
+* persistent compilation cache — first compilation of the big programs (the
+  whole-epoch train scan, the fused feature+forward path) can take minutes
+  on a cold backend; the on-disk cache makes every later process start
+  warm.  Override the location with ``SIR_TPU_COMPILATION_CACHE`` (empty
+  string disables).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+logger = logging.getLogger(__name__)
+
+_configured = False
+
+
+def configure_jax(cache_dir: str | None = None) -> None:
+    """Idempotent JAX setup; call before the first computation."""
+    global _configured
+    if _configured:
+        return
+    _configured = True
+    import jax
+
+    env = os.environ.get("SIR_TPU_COMPILATION_CACHE")
+    if env == "":
+        return
+    cache_dir = env or cache_dir or os.path.expanduser(
+        "~/.cache/sir_tpu/jax_cache")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # pragma: no cover
+        logger.debug("compilation cache unavailable: %s", e)
