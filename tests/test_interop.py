@@ -60,6 +60,53 @@ class TestTorchCheckpointInterop:
         assert "conv1" in variables["params"]
 
 
+class TestTorchExport:
+    def test_roundtrip_flax_torch_flax(self, rng, tmp_path):
+        """Flax -> .pt -> Flax preserves logits exactly, and the exported
+        dict matches the reference layer naming."""
+        pytest.importorskip("torch")
+        from speech_intent_recognizer_tpu.convert.torch_export import (
+            save_torch_checkpoint)
+        from speech_intent_recognizer_tpu.convert.torch_import import (
+            convert_torch_checkpoint)
+        from speech_intent_recognizer_tpu.models.cnn_gru import (
+            CNNAudioGRU, init_model)
+
+        model = CNNAudioGRU(num_classes=19)
+        variables = init_model(model, jax.random.key(3))
+        path = str(tmp_path / "export.pt")
+        save_torch_checkpoint(path, variables["params"],
+                              variables["batch_stats"])
+
+        kwargs, restored = convert_torch_checkpoint(path)
+        assert kwargs["num_classes"] == 19
+        x = jnp.asarray(rng.standard_normal((2, 64, 200)), jnp.float32)
+        a = model.apply(variables, x, train=False)
+        b = model.apply(restored, x, train=False)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_exported_dict_loads_into_torch_gru_layout(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        import sys
+
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from test_model import _make_torch_reference
+
+        from speech_intent_recognizer_tpu.convert.torch_export import (
+            save_torch_checkpoint)
+        from speech_intent_recognizer_tpu.models.cnn_gru import (
+            CNNAudioGRU, init_model)
+
+        model = CNNAudioGRU(num_classes=31)
+        variables = init_model(model, jax.random.key(4))
+        path = str(tmp_path / "e.pt")
+        save_torch_checkpoint(path, variables["params"],
+                              variables["batch_stats"])
+        ref = _make_torch_reference(31)
+        state = torch.load(path, weights_only=True)
+        ref.load_state_dict(state)  # raises on any key/shape mismatch
+
+
 class TestLegacyCacheMigration:
     def test_torch_cache_reads(self, tmp_path, rng):
         torch = pytest.importorskip("torch")
