@@ -24,6 +24,7 @@ improvement.
 from __future__ import annotations
 
 import logging
+import signal
 import time
 from dataclasses import dataclass, field
 from functools import partial
@@ -227,6 +228,22 @@ class Trainer:
         rng = jax.random.key(cfg.seed)
         result = TrainResult(best_val_acc=best_val_acc, epochs_run=start_epoch)
 
+        # Preemption awareness (absent in the reference, which could lose a
+        # whole run): SIGTERM/SIGINT requests a final checkpoint at the next
+        # epoch boundary instead of dying mid-step.
+        preempted = {"flag": False}
+        prev_handlers = {}
+
+        def _request_stop(signum, _frame):
+            preempted["flag"] = True
+            log(f"signal {signum}: will checkpoint and stop after this epoch")
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                prev_handlers[sig] = signal.signal(sig, _request_stop)
+            except (ValueError, OSError):  # non-main thread
+                prev_handlers.pop(sig, None)
+
         for epoch in range(start_epoch, cfg.epochs):
             t0 = time.perf_counter()
             rng, perm_key, epoch_key = jax.random.split(rng, 3)
@@ -276,6 +293,15 @@ class Trainer:
                 log(f"early stopping after {epoch + 1} epochs")
                 result.stopped_early = True
                 break
+            if preempted["flag"]:
+                log(f"preempted; state checkpointed at epoch {epoch + 1}")
+                result.stopped_early = True
+                break
 
+        for sig, handler in prev_handlers.items():
+            try:
+                signal.signal(sig, handler)
+            except (ValueError, OSError):
+                pass
         log(f"training complete; best val accuracy {result.best_val_acc:.4f}")
         return state, result

@@ -126,11 +126,14 @@ class Wav2VecTrainer:
         plateau_value = jnp.asarray(jnp.inf)
         history = []
 
+        from speech_intent_recognizer_tpu.data.prefetch import device_prefetch
+
         for epoch in range(epochs):
             t0 = time.perf_counter()
             losses, accs = [], []
-            for x, mask, y in self._batches(train_paths, train_labels,
-                                            batch_size, True, seed + epoch):
+            for x, mask, y in device_prefetch(
+                    self._batches(train_paths, train_labels, batch_size,
+                                  True, seed + epoch), buffer_size=2):
                 rng, srng = jax.random.split(rng)
                 params, opt_state, loss, acc = self._step_fn(
                     params, opt_state, x, mask, y, srng, plateau_value)
