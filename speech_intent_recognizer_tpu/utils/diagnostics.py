@@ -62,6 +62,43 @@ def stress_test(seconds: float = 5.0, size: int = 4096) -> Dict[str, float]:
     return {"matmuls": n, "seconds": dt, "tflops": tflops}
 
 
+def optimizer_walkthrough(steps: int = 20, seed: int = 42) -> Dict[str, float]:
+    """Seeded, step-numbered optimizer sanity check (the reference's
+    ``scripts/utils/debug_optimizer.py`` analog): Adam on a tiny regression
+    must monotonically-ish reduce the loss; reruns are bit-reproducible."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    key = jax.random.key(seed)
+    k1, k2, k3 = jax.random.split(key, 3)
+    w_true = jax.random.normal(k1, (16, 4))
+    x = jax.random.normal(k2, (64, 16))
+    y = x @ w_true
+    params = {"w": jax.random.normal(k3, (16, 4)) * 0.1}
+    tx = optax.adam(1e-1)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            return jnp.mean(jnp.square(x @ p["w"] - y))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for i in range(steps):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+        print(f"step {i + 1:2d}: loss {losses[-1]:.6f}")
+    ok = losses[-1] < losses[0] * 0.1
+    print(f"optimizer walkthrough: {'OK' if ok else 'FAIL'} "
+          f"({losses[0]:.4f} -> {losses[-1]:.4f})")
+    return {"first_loss": losses[0], "last_loss": losses[-1], "ok": ok}
+
+
 def audio_loading_benchmark(paths, sample_rate: int = 16000) -> Dict[str, float]:
     """Time host audio decode+resample over real files (the reference's
     ``scripts/utils/test_audio_loading.py`` analog)."""

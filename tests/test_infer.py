@@ -82,6 +82,17 @@ class TestStreamingFeaturizer:
         out = fz.partial_features()
         assert out.shape == (64, 200)
 
+    def test_host_and_device_modes_match(self, rng):
+        cfg = AudioConfig()
+        x = _speech_like(rng, 20000)
+        outs = []
+        for mode in ("host", "device"):
+            fz = StreamingFeaturizer(audio_cfg=cfg, mode=mode)
+            for i in range(0, len(x), 1024):
+                fz.feed(x[i : i + 1024])
+            outs.append(fz.finalize())
+        np.testing.assert_allclose(outs[0], outs[1], rtol=2e-3, atol=2e-3)
+
 
 class TestStreamingRecognizer:
     @pytest.fixture(scope="class")
