@@ -33,35 +33,45 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
-def _gru_direction_scan(x_proj, h0, w_hh, b_hh, reverse: bool):
-    """Run one GRU direction.
+def _gru_bidirectional_scan(gx_fwd, gx_bwd, w_hh_fwd, w_hh_bwd,
+                            b_hh_fwd, b_hh_bwd, hidden: int):
+    """Run both GRU directions in ONE fused scan.
+
+    The recurrence is the serial critical path of the whole model (~25
+    steps of small matmuls after pooling).  Running fwd and bwd as separate
+    scans doubles that serial depth for no reason: the backward direction
+    over reversed inputs is the same recurrence.  Here both directions'
+    recurrent matmuls execute as a single batched ``(2, B, H) x (2, H, 3H)``
+    contraction per step, and the scan is fully unrolled so XLA can
+    software-pipeline the steps.
 
     Args:
-      x_proj: (T, B, 3H) precomputed ``x @ W_ih^T + b_ih`` for every step.
-      h0: (B, H) initial hidden state.
-      w_hh: (3H, H) recurrent weights in PyTorch [r; z; n] row order.
-      b_hh: (3H,) recurrent bias.
-      reverse: scan right-to-left (the backward direction).
+      gx_fwd/gx_bwd: (T, B, 3H) precomputed input projections
+        ``x @ W_ih^T + b_ih`` per direction (one big MXU GEMM upstream).
+      w_hh_*: (3H, H) PyTorch-layout recurrent weights.
+      b_hh_*: (3H,).
 
-    Returns: (T, B, H) hidden states in forward time order.
+    Returns (ys_fwd, ys_bwd): each (T, B, H), both in forward time order.
     """
-    hidden = h0.shape[-1]
-    w_hh_t = w_hh.T  # (H, 3H)
+    t = gx_fwd.shape[0]
+    # (T, 2, B, 3H): lane 0 walks forward, lane 1 walks the reversed seq
+    gx = jnp.stack([gx_fwd, gx_bwd[::-1]], axis=1)
+    w = jnp.stack([w_hh_fwd.T, w_hh_bwd.T], axis=0)  # (2, H, 3H)
+    b = jnp.stack([b_hh_fwd, b_hh_bwd], axis=0)[:, None, :]  # (2, 1, 3H)
+    h0 = jnp.zeros((2, gx_fwd.shape[1], hidden), gx_fwd.dtype)
 
-    def step(h, gx):
-        gh = jnp.dot(h, w_hh_t) + b_hh
-        r = jax.nn.sigmoid(gx[:, :hidden] + gh[:, :hidden])
-        z = jax.nn.sigmoid(gx[:, hidden : 2 * hidden] + gh[:, hidden : 2 * hidden])
-        n = jnp.tanh(gx[:, 2 * hidden :] + r * gh[:, 2 * hidden :])
+    def step(h, gxt):
+        gh = jax.lax.dot_general(
+            h, w, dimension_numbers=(((2,), (1,)), ((0,), (0,)))) + b
+        r = jax.nn.sigmoid(gxt[..., :hidden] + gh[..., :hidden])
+        z = jax.nn.sigmoid(gxt[..., hidden : 2 * hidden]
+                           + gh[..., hidden : 2 * hidden])
+        n = jnp.tanh(gxt[..., 2 * hidden :] + r * gh[..., 2 * hidden :])
         h_new = (1.0 - z) * n + z * h
         return h_new, h_new
 
-    # Full unroll: after pooling the sequence is only ~25 steps, so the
-    # recurrence is loop-overhead-bound, not FLOP-bound — unrolling lets XLA
-    # software-pipeline the small (B, H) x (H, 3H) matmuls.
-    _, ys = jax.lax.scan(step, h0, x_proj, reverse=reverse,
-                         unroll=min(x_proj.shape[0], 32))
-    return ys
+    _, ys = jax.lax.scan(step, h0, gx, unroll=min(t, 32))
+    return ys[:, 0], ys[:, 1][::-1]
 
 
 class TorchGRU(nn.Module):
@@ -81,38 +91,45 @@ class TorchGRU(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         # x: (B, T, F)
-        b = x.shape[0]
         directions = ("fwd", "bwd") if self.bidirectional else ("fwd",)
+        # U(-1/sqrt(H), 1/sqrt(H)) — the torch.nn.GRU default.
+        bound = 1.0 / float(self.hidden_size) ** 0.5
+
+        def init(key, shape, dtype=jnp.float32, _b=bound):
+            return jax.random.uniform(key, shape, dtype, -_b, _b)
+
         for layer in range(self.num_layers):
             in_features = x.shape[-1]
-            outs = []
+            params = {}
             for direction in directions:
                 name = f"l{layer}_{direction}"
-                # U(-1/sqrt(H), 1/sqrt(H)) — the torch.nn.GRU default.
-                bound = 1.0 / float(self.hidden_size) ** 0.5
+                params[direction] = tuple(
+                    self.param(f"{name}_{p}", init, shape).astype(
+                        self.compute_dtype)
+                    for p, shape in (
+                        ("w_ih", (3 * self.hidden_size, in_features)),
+                        ("w_hh", (3 * self.hidden_size, self.hidden_size)),
+                        ("b_ih", (3 * self.hidden_size,)),
+                        ("b_hh", (3 * self.hidden_size,)),
+                    ))
 
-                def init(key, shape, dtype=jnp.float32, _b=bound):
-                    return jax.random.uniform(key, shape, dtype, -_b, _b)
-
-                w_ih = self.param(f"{name}_w_ih", init,
-                                  (3 * self.hidden_size, in_features))
-                w_hh = self.param(f"{name}_w_hh", init,
-                                  (3 * self.hidden_size, self.hidden_size))
-                b_ih = self.param(f"{name}_b_ih", init, (3 * self.hidden_size,))
-                b_hh = self.param(f"{name}_b_hh", init, (3 * self.hidden_size,))
-                w_ih = w_ih.astype(self.compute_dtype)
-                w_hh = w_hh.astype(self.compute_dtype)
-                b_ih = b_ih.astype(self.compute_dtype)
-                b_hh = b_hh.astype(self.compute_dtype)
-
-                # One big MXU GEMM for all timesteps' input projections.
-                gx = jnp.dot(x.astype(self.compute_dtype), w_ih.T) + b_ih
-                gx = jnp.swapaxes(gx, 0, 1)  # (T, B, 3H)
-                h0 = jnp.zeros((b, self.hidden_size), self.compute_dtype)
-                ys = _gru_direction_scan(gx, h0, w_hh, b_hh,
-                                         reverse=(direction == "bwd"))
-                outs.append(jnp.swapaxes(ys, 0, 1))  # (B, T, H)
-            x = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
+            xc = x.astype(self.compute_dtype)
+            if self.bidirectional:
+                wf, wb = params["fwd"], params["bwd"]
+                # One big MXU GEMM per direction for all input projections.
+                gx_f = jnp.swapaxes(jnp.dot(xc, wf[0].T) + wf[2], 0, 1)
+                gx_b = jnp.swapaxes(jnp.dot(xc, wb[0].T) + wb[2], 0, 1)
+                ys_f, ys_b = _gru_bidirectional_scan(
+                    gx_f, gx_b, wf[1], wb[1], wf[3], wb[3], self.hidden_size)
+                x = jnp.concatenate([jnp.swapaxes(ys_f, 0, 1),
+                                     jnp.swapaxes(ys_b, 0, 1)], axis=-1)
+            else:
+                wf = params["fwd"]
+                gx_f = jnp.swapaxes(jnp.dot(xc, wf[0].T) + wf[2], 0, 1)
+                zero = jnp.zeros_like(gx_f)
+                ys_f, _ = _gru_bidirectional_scan(
+                    gx_f, zero, wf[1], wf[1], wf[3], wf[3], self.hidden_size)
+                x = jnp.swapaxes(ys_f, 0, 1)
             if layer < self.num_layers - 1 and self.dropout > 0.0:
                 x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return x
