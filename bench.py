@@ -69,11 +69,14 @@ def main() -> int:
     # warmup + compile
     fused(variables, waveforms, lengths).block_until_ready()
 
-    iters = 10
+    iters = 40
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fused(variables, waveforms, lengths)
     out.block_until_ready()
+    # force full materialization — block_until_ready alone does not fence
+    # execution on remote-relay backends
+    float(jnp.sum(out))
     dt = time.perf_counter() - t0
     tpu_rate = batch * iters / dt
 

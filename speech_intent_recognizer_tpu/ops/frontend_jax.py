@@ -93,9 +93,11 @@ def make_frontend_params(
 
 
 def default_backend_choice() -> str:
-    """Pallas fused kernel on TPU (measured ~1.3x the XLA path); plain XLA
-    elsewhere (the kernel would run interpreted off-TPU)."""
-    return "pallas" if jax.default_backend() == "tpu" else "xla"
+    """The chunked half-DFT XLA path currently measures fastest everywhere
+    (7.0 ms vs 10.8 ms per 256-batch for the frame-tensor Pallas kernel on
+    v5e — the kernel re-reads the 2x-overlapped frames from HBM).  The
+    Pallas kernel remains available via ``backend="pallas"``."""
+    return "xla"
 
 
 def _prepare_one(x: jax.Array, length: jax.Array, pad: int, reflect: bool) -> jax.Array:
