@@ -121,12 +121,11 @@ def _prepare_one(x: jax.Array, length: jax.Array, pad: int, reflect: bool) -> ja
 
 def _prepare_batch(waveforms: jax.Array, lengths: jax.Array, pad: int,
                    reflect: bool) -> jax.Array:
-    """Batched center padding with ONE bulk copy.
+    """Batched center padding with one bulk copy + per-sample tail patch.
 
-    The naive per-sample construction writes the 80 k-sample buffer three
-    times; here the bulk layout (left reflect | signal | zero tail) is a
-    single concatenate, and only the `pad`-sized right-reflect region (which
-    sits at each utterance's dynamic end) is patched per sample.
+    The bulk layout (left reflect | signal | zero tail) is a single
+    concatenate; only the `pad`-sized right-reflect region at each
+    utterance's dynamic end is then patched per sample.
     """
     b, l_max = waveforms.shape
     if not reflect:
@@ -211,12 +210,14 @@ def _frontend_impl(waveforms, lengths, dft_cos, dft_sin, mel_fb,
     b, l_prep = prepared.shape
     t = (l_prep - n_fft) // hop + 1
     if backend == "pallas":
-        from speech_intent_recognizer_tpu.ops.frontend_pallas import (
-            mel_db_pallas)
+        from speech_intent_recognizer_tpu.ops import frontend_pallas as fp
 
-        frames = frame_signal(prepared, n_fft, hop)  # (B, T, n_fft)
-        db = mel_db_pallas(frames.reshape(b * t, n_fft), p).reshape(
-            b, t, n_mels)
+        if n_fft == 2 * hop:
+            db = fp.mel_db_pallas_chunked(prepared, t, p)
+        else:
+            frames = frame_signal(prepared, n_fft, hop)  # (B, T, n_fft)
+            db = fp.mel_db_pallas(frames.reshape(b * t, n_fft), p).reshape(
+                b, t, n_mels)
         return _finish(db, lengths, p, normalize, pad_to_target, is_db=True)
     # HIGH precision (bf16x3 passes): max |error| vs fp32 is ~3e-4 dB on
     # speech-scale inputs — far below the feature-parity tolerance — at

@@ -107,3 +107,113 @@ def mel_db_pallas(frames: jax.Array, p: FrontendParams) -> jax.Array:
     out = _mel_db_call(frames, wcos, wsin, fb, p.n_fft, n_mels_pad, interpret)
     # padded mel lanes hold log10(1e-10) garbage; slice them away
     return out[:, : p.n_mels]
+
+
+# ---------------------------------------------------------------------------
+# v2: chunked kernel — DMA-fed, no overlapped frame tensor.
+#
+# With hop = n_fft/2, frame t = [chunk_t | chunk_{t+1}] of non-overlapping
+# hop-sized chunks, so frame_t @ W == chunk_t @ W_hi + chunk_{t+1} @ W_lo.
+# Each grid step manually DMAs a (TILE_T + 1)-chunk window of one utterance
+# from HBM into VMEM (the +1 gives the cross-boundary chunk), computes the
+# half-DFTs, shifted-adds, squares, projects to mel and writes dB rows.
+# HBM traffic is ~1x the signal (vs 2x for the frame-tensor kernel) plus the
+# tiny mel output.
+# ---------------------------------------------------------------------------
+
+_TILE_T = 64  # frames per grid step
+
+
+def _mel_db_chunked_kernel(chunks_hbm, wcos_hi, wcos_lo, wsin_hi, wsin_lo,
+                           fb_ref, out_ref, chunk_vmem, sem):
+    b = pl.program_id(0)
+    tile = pl.program_id(1)
+    # window is _TILE_T + 8 chunks: +1 for the cross-boundary chunk, padded
+    # to the fp32 sublane tile (8) that Mosaic requires for DMA slices
+    dma = pltpu.make_async_copy(
+        chunks_hbm.at[b, pl.ds(tile * _TILE_T, _TILE_T + 8), :],
+        chunk_vmem, sem)
+    dma.start()
+    dma.wait()
+    x = chunk_vmem[...]
+    # Mosaic supports DEFAULT/HIGHEST only; HIGHEST keeps exact fp32 parity
+    prec = jax.lax.Precision.HIGHEST
+
+    def half_dft(hi_ref, lo_ref):
+        a = jnp.dot(x, hi_ref[...], preferred_element_type=jnp.float32,
+                    precision=prec)
+        bb = jnp.dot(x, lo_ref[...], preferred_element_type=jnp.float32,
+                     precision=prec)
+        return a[:_TILE_T] + bb[1 : _TILE_T + 1]
+
+    c = half_dft(wcos_hi, wcos_lo)
+    s = half_dft(wsin_hi, wsin_lo)
+    power = c * c + s * s
+    mel = jnp.dot(power, fb_ref[...], preferred_element_type=jnp.float32,
+                  precision=prec)
+    out_ref[0] = (10.0 / np.log(10.0)) * jnp.log(jnp.maximum(mel, 1e-10))
+
+
+@functools.partial(jax.jit, static_argnames=("t", "hop", "n_mels",
+                                             "interpret"))
+def _mel_db_chunked_call(prepared, wcos, wsin, fb, t, hop, n_mels, interpret):
+    b = prepared.shape[0]
+    t_pad = _round_up(t, _TILE_T)
+    n_chunks = t_pad + 8  # +1 boundary chunk, padded to the sublane tile
+    need = n_chunks * hop
+    if prepared.shape[1] < need:
+        prepared = jnp.pad(prepared, ((0, 0), (0, need - prepared.shape[1])))
+    chunks = prepared[:, :need].reshape(b, n_chunks, hop)
+    f_pad = wcos.shape[1]
+    grid = (b, t_pad // _TILE_T)
+    out = pl.pallas_call(
+        _mel_db_chunked_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # chunks stay in HBM
+            # hi/lo halves of the windowed DFT matrices: same operand passed
+            # twice, block index selecting the top (0) or bottom (1) half
+            pl.BlockSpec((hop, f_pad), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hop, f_pad), lambda i, j: (1, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hop, f_pad), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hop, f_pad), lambda i, j: (1, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f_pad, n_mels), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _TILE_T, n_mels),
+                               lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, n_mels), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((_TILE_T + 8, hop), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=b * t_pad * (4 * hop * f_pad + 2 * f_pad * n_mels),
+            bytes_accessed=(b * need + 4 * hop * f_pad
+                            + f_pad * n_mels + b * t_pad * n_mels) * 4,
+            transcendentals=b * t_pad * n_mels,
+        ),
+        interpret=interpret,
+    )(chunks, wcos, wcos, wsin, wsin, fb)
+    return out[:, :t]
+
+
+def mel_db_pallas_chunked(prepared: jax.Array, t: int,
+                          p: FrontendParams) -> jax.Array:
+    """(B, L) center-padded signals -> (B, T, n_mels) dB-mel (chunked v2
+    kernel; requires hop == n_fft/2)."""
+    if p.n_fft != 2 * p.hop_length:
+        raise ValueError("chunked kernel requires hop == n_fft / 2")
+    wcos, wsin, fb = _padded_operands(p)
+    interpret = jax.default_backend() != "tpu"
+    n_mels_pad = _round_up(p.n_mels, _LANE)
+    if n_mels_pad != p.n_mels:
+        fb = jnp.pad(fb, ((0, 0), (0, n_mels_pad - p.n_mels)))
+    out = _mel_db_chunked_call(prepared, wcos, wsin, fb, t, p.hop_length,
+                               n_mels_pad, interpret)
+    return out[..., : p.n_mels]
