@@ -23,10 +23,27 @@ from speech_intent_recognizer_tpu.train.checkpoint import (
 
 
 def evaluate_from_config(cfg, test_csv, label_map_path, model_path,
-                         results_dir=None, logger=None):
+                         results_dir=None, logger=None,
+                         model_type="cnn_gru"):
     import logging
 
     logger = logger or logging.getLogger("sir_tpu")
+    if model_type == "wav2vec":
+        from speech_intent_recognizer_tpu.data.manifest import read_manifest
+        from speech_intent_recognizer_tpu.evaluation.evaluate import (
+            evaluate_manifest_with_predictor)
+        from speech_intent_recognizer_tpu.infer.predict import (
+            Wav2VecPredictor)
+
+        predictor = Wav2VecPredictor.from_checkpoint(
+            model_path, label_map_path, audio_cfg=cfg.audio)
+        manifest = read_manifest(test_csv)
+        results_dir = results_dir or os.path.join(
+            cfg.train.save_path, "evaluation_results_wav2vec")
+        result = evaluate_manifest_with_predictor(predictor, manifest,
+                                                  results_dir)
+        logger.info("wav2vec test accuracy: %.4f", result["accuracy"])
+        return result
     label_map = load_label_map(label_map_path)
     variables = load_model_checkpoint(model_path)
     fc_kernel = np.asarray(variables["params"]["fc"]["kernel"])
@@ -56,10 +73,13 @@ def main(argv=None):
     p.add_argument("--label_map", required=True)
     p.add_argument("--model_path", required=True)
     p.add_argument("--results_dir", default=None)
+    p.add_argument("--model_type", default="cnn_gru",
+                   choices=["cnn_gru", "wav2vec"])
     args = p.parse_args(argv)
     cfg = load_config_or_default(args.config)
     return evaluate_from_config(cfg, args.test_csv, args.label_map,
-                                args.model_path, args.results_dir, logger)
+                                args.model_path, args.results_dir, logger,
+                                model_type=args.model_type)
 
 
 if __name__ == "__main__":

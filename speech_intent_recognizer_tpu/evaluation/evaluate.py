@@ -89,6 +89,42 @@ def evaluate_dataset(
             "predictions": y_pred, "probabilities": probs}
 
 
+def evaluate_manifest_with_predictor(
+    predictor,
+    manifest,
+    results_dir: Optional[str] = None,
+) -> Dict:
+    """Evaluate any waveform predictor (e.g. Wav2VecPredictor) over a
+    manifest — the raw-audio analog of :func:`evaluate_dataset` for models
+    without a feature cache."""
+    label_map = predictor.label_map
+    inv = predictor.inv_label_map
+    y_true, y_pred, probs_all = [], [], []
+    for path, label in zip(manifest.paths, manifest.labels):
+        r = predictor.predict_file(path)
+        if r is None:
+            continue
+        y_true.append(label_map.get(label, 0))
+        y_pred.append(label_map.get(r["predicted_label"], -1))
+        probs_all.append(r["confidence"])
+    num_classes = max(label_map.values()) + 1 if label_map else 0
+    names = [inv.get(i, str(i)) for i in range(num_classes)]
+    report = M.classification_report_dict(y_true, y_pred, names, num_classes)
+    cm = M.confusion_matrix(
+        y_true, [max(p, 0) for p in y_pred], num_classes)
+    if results_dir is not None:
+        os.makedirs(results_dir, exist_ok=True)
+        with open(os.path.join(results_dir, "classification_report.txt"),
+                  "w") as f:
+            f.write(f"Test Accuracy: {report['accuracy']:.4f}\n\n")
+            f.write(M.format_classification_report(report))
+        np.save(os.path.join(results_dir, "confusion_matrix.npy"), cm)
+        _plot_confusion(cm, names,
+                        os.path.join(results_dir, "confusion_matrix.png"))
+    return {"accuracy": report["accuracy"], "report": report,
+            "confusion_matrix": cm}
+
+
 def _plot_confusion(cm: np.ndarray, names, path: str) -> None:
     try:
         import matplotlib

@@ -121,3 +121,15 @@ class TestWav2VecCLI:
             first_audio = f.read().splitlines()[1].split(",")[0]
         r = pred.predict_file(first_audio)
         assert r is not None and r["predicted_label"] in lm
+
+        # manifest evaluation through the wav2vec path
+        from speech_intent_recognizer_tpu.cli.evaluate import (
+            evaluate_from_config)
+        from speech_intent_recognizer_tpu.config.loader import load_config
+
+        result = evaluate_from_config(
+            load_config(cfg_path), csv_path, lm_path, str(ckpt),
+            results_dir=str(tmp_path / "w2v_eval"), model_type="wav2vec")
+        assert 0.0 <= result["accuracy"] <= 1.0
+        assert os.path.exists(tmp_path / "w2v_eval"
+                              / "classification_report.txt")
