@@ -114,6 +114,39 @@ class TestGoldenEndToEnd:
                                    rtol=1e-4, atol=1e-5)
 
 
+class TestRealAudio:
+    def test_bundled_corpus_features_match_golden(self, reference_mic_dir):
+        """Real decoded speech (gTTS MP3 -> 16 kHz) through the device
+        front-end must match the golden implementation — the end-to-end
+        feature contract on actual audio, not synthetic tones."""
+        import os
+
+        import jax.numpy as jnp
+
+        from speech_intent_recognizer_tpu.data.audio_io import load_audio
+        from speech_intent_recognizer_tpu.ops.frontend_jax import (
+            log_mel_frontend, make_frontend_params)
+
+        cfg = AudioConfig()
+        params = make_frontend_params(cfg)
+        files = ["001_please decrease the volume.wav",
+                 "010_switch on the lamp.wav"]
+        for fname in files:
+            path = os.path.join(reference_mic_dir, fname)
+            if not os.path.exists(path):
+                continue
+            x, _ = load_audio(path, target_sample_rate=16000)
+            n = min(len(x), cfg.max_samples)
+            buf = np.zeros((1, cfg.max_samples), np.float32)
+            buf[0, :n] = x[:n]
+            out = np.asarray(log_mel_frontend(
+                jnp.asarray(buf), jnp.asarray([n], np.int32), params))[0]
+            ref = golden.pad_or_trim_np(
+                golden.log_mel_spectrogram_np(x[:n]), 200)
+            np.testing.assert_allclose(out, ref, rtol=3e-3, atol=3e-3,
+                                       err_msg=fname)
+
+
 class TestJaxFrontend:
     def test_matches_golden_single(self, rng):
         import jax.numpy as jnp
