@@ -87,6 +87,32 @@ class TestStreamCLI:
         assert results[0]["predicted_label"] in lm
 
 
+class TestTrainResumeCLI:
+    def test_resume_continues_from_checkpoint(self, tmp_path,
+                                              reference_mic_dir):
+        """Train 2 epochs, then resume: the second run must start at epoch 3
+        (full-state restore — optimizer moments, early-stop bookkeeping)."""
+        from speech_intent_recognizer_tpu.cli.train import train_from_config
+        from speech_intent_recognizer_tpu.config.schema import Config
+
+        csv_path, lm_path, lm = _mini_corpus(tmp_path, reference_mic_dir,
+                                             n=8)
+        def cfg(epochs):
+            return Config.from_dict({
+                "num_labels": len(lm), "epochs": epochs, "batch_size": 4,
+                "lr": 1e-3, "bf16": False, "augment_prob": 0.0,
+                "cache_dir": str(tmp_path / "cache"),
+                "save_path": str(tmp_path / "ckpt"), "seed": 0,
+            })
+
+        _, r1 = train_from_config(cfg(2), csv_path, csv_path, lm_path)
+        assert r1.epochs_run == 2
+        _, r2 = train_from_config(cfg(4), csv_path, csv_path, lm_path,
+                                  resume=True)
+        assert r2.epochs_run == 4
+        assert r2.history[0]["epoch"] == 3  # continued, not restarted
+
+
 class TestWav2VecCLI:
     def test_small_smoke(self, tmp_path, reference_mic_dir):
         pytest.importorskip("transformers")
