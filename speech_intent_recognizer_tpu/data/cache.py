@@ -89,7 +89,22 @@ def precompute_features(
                         np.int32)
     ok_all = np.ones(n, bool)
 
-    iterator = range(0, n, batch_size)
+    from speech_intent_recognizer_tpu.data.prefetch import BackgroundLoader
+
+    def produce():
+        """Host decode on a worker thread — overlaps with device batches."""
+        for start in range(0, n, batch_size):
+            chunk = manifest.paths[start : start + batch_size]
+            buf, lengths, ok = _decode_batch(chunk, audio_cfg)
+            # pad the final chunk to the compiled batch size (one XLA program)
+            if len(chunk) < batch_size:
+                pad = batch_size - len(chunk)
+                buf = np.concatenate([buf, np.zeros((pad, buf.shape[1]),
+                                                    np.float32)])
+                lengths = np.concatenate([lengths, np.ones(pad, np.int32)])
+            yield start, len(chunk), buf, lengths, ok
+
+    iterator = BackgroundLoader(produce, capacity=2)
     if progress:
         try:
             from tqdm import tqdm
@@ -99,22 +114,14 @@ def precompute_features(
         except ImportError:
             pass
 
-    for start in iterator:
-        chunk = manifest.paths[start : start + batch_size]
-        buf, lengths, ok = _decode_batch(chunk, audio_cfg)
-        # pad the final chunk to the compiled batch size (one XLA program)
-        if len(chunk) < batch_size:
-            pad = batch_size - len(chunk)
-            buf = np.concatenate([buf, np.zeros((pad, buf.shape[1]),
-                                                np.float32)])
-            lengths = np.concatenate([lengths, np.ones(pad, np.int32)])
+    for start, n_chunk, buf, lengths, ok in iterator:
         out = log_mel_frontend(jnp.asarray(buf),
                                jnp.asarray(np.maximum(lengths, 1)), params,
                                backend="auto")
-        out = np.array(out)[: len(chunk)]  # copy: jax arrays are read-only
+        out = np.array(out)[:n_chunk]  # copy: jax arrays are read-only
         out[~ok] = 0.0  # zero-feature fallback for failed decodes
-        feats[start : start + len(chunk)] = out
-        ok_all[start : start + len(chunk)] = ok
+        feats[start : start + n_chunk] = out
+        ok_all[start : start + n_chunk] = ok
 
     return feats, labels, ok_all, list(manifest.paths)
 
