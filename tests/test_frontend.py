@@ -114,6 +114,50 @@ class TestGoldenEndToEnd:
                                    rtol=1e-4, atol=1e-5)
 
 
+class TestFrozenGoldenVectors:
+    """Regression anchor: features frozen at creation time (verified against
+    torch.stft before freezing — see tests/data/golden_features.npz).  Fails
+    if ANY implementation drift changes the feature contract, independent of
+    torch availability."""
+
+    def test_golden_impl_matches_frozen(self):
+        import os
+
+        data_path = os.path.join(os.path.dirname(__file__), "data",
+                                 "golden_features.npz")
+        z = np.load(data_path)
+        for key in ("vol", "lamp"):
+            x = z[f"wave_{key}"]
+            want = z[f"feat_{key}"]
+            got = golden.pad_or_trim_np(golden.log_mel_spectrogram_np(x), 200)
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5,
+                                       err_msg=key)
+
+    def test_jax_frontend_matches_frozen(self):
+        import os
+
+        import jax.numpy as jnp
+
+        from speech_intent_recognizer_tpu.ops.frontend_jax import (
+            log_mel_frontend, make_frontend_params)
+
+        data_path = os.path.join(os.path.dirname(__file__), "data",
+                                 "golden_features.npz")
+        z = np.load(data_path)
+        cfg = AudioConfig()
+        params = make_frontend_params(cfg)
+        for key in ("vol", "lamp"):
+            x = z[f"wave_{key}"]
+            want = z[f"feat_{key}"]
+            buf = np.zeros((1, cfg.max_samples), np.float32)
+            buf[0, : len(x)] = x
+            got = np.asarray(log_mel_frontend(
+                jnp.asarray(buf), jnp.asarray([len(x)], np.int32),
+                params))[0]
+            np.testing.assert_allclose(got, want, rtol=3e-3, atol=3e-3,
+                                       err_msg=key)
+
+
 class TestRealAudio:
     def test_bundled_corpus_features_match_golden(self, reference_mic_dir):
         """Real decoded speech (gTTS MP3 -> 16 kHz) through the device
