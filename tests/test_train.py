@@ -142,6 +142,34 @@ class TestCheckpoint:
 
 
 class TestMeshTraining:
+    def test_mesh_and_single_device_train_identically(self):
+        """SPMD correctness: the 8-way data-parallel epoch must produce the
+        SAME metrics as the single-device epoch (jit-with-shardings computes
+        the global batch semantically — incl. global BatchNorm stats)."""
+        from speech_intent_recognizer_tpu.parallel.mesh import create_mesh
+        from speech_intent_recognizer_tpu.data.pipeline import DeviceDataset
+
+        rng = np.random.default_rng(3)
+        feats, labels = _toy_data(rng, n=32)
+        cfg = _mk_config(epochs=1, batch_size=16, augment_prob=0.0)
+        results = {}
+        for name, mesh in (("single", None), ("mesh8", create_mesh())):
+            model = CNNAudioGRU(num_classes=4)
+            tx = create_optimizer(lr=cfg.train.lr,
+                                  weight_decay=cfg.train.weight_decay,
+                                  grad_clip=cfg.train.grad_clip)
+            state = create_train_state(model, jax.random.key(0), tx)
+            trainer = Trainer(model, cfg, mesh=mesh, num_classes=4, tx=tx)
+            ds = DeviceDataset.from_arrays(feats, labels, mesh)
+            _, result = trainer.fit(state, ds.features, ds.labels,
+                                    ds.features, ds.labels)
+            results[name] = result.history[0]
+        np.testing.assert_allclose(results["single"]["train_loss"],
+                                   results["mesh8"]["train_loss"],
+                                   rtol=1e-5)
+        np.testing.assert_allclose(results["single"]["val_acc"],
+                                   results["mesh8"]["val_acc"], atol=1e-6)
+
     def test_data_parallel_on_8_virtual_devices(self):
         from speech_intent_recognizer_tpu.parallel.mesh import create_mesh
         from speech_intent_recognizer_tpu.parallel.sharding import place_params
