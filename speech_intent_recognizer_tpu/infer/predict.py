@@ -50,8 +50,10 @@ class Predictor:
     @classmethod
     def from_checkpoint(cls, model_path: str, label_map_path: str,
                         audio_cfg: Optional[AudioConfig] = None,
-                        num_classes: Optional[int] = None) -> "Predictor":
+                        num_classes: Optional[int] = None,
+                        fold_bn: bool = True) -> "Predictor":
         from speech_intent_recognizer_tpu.data.labelmap import load_label_map
+        from speech_intent_recognizer_tpu.models.cnn_gru import fold_batchnorm
         from speech_intent_recognizer_tpu.train.checkpoint import (
             load_model_checkpoint)
 
@@ -62,11 +64,17 @@ class Predictor:
             # test_tts_samples.py:46-48 trick)
             fc_kernel = variables["params"]["fc"]["kernel"]
             num_classes = int(np.asarray(fc_kernel).shape[-1])
+        batch_stats = variables.get("batch_stats", {})
+        if fold_bn and batch_stats:
+            # inference-only: fold BN into the convs (identical eval math,
+            # fewer fp32 round-trips between the bf16 convs)
+            params = fold_batchnorm(variables["params"], batch_stats)
+            model = CNNAudioGRU(num_classes=num_classes, fold_bn=True)
+            return cls(model, {"params": params, "batch_stats": {}},
+                       label_map, audio_cfg)
         model = CNNAudioGRU(num_classes=num_classes)
-        variables = {
-            "params": variables["params"],
-            "batch_stats": variables.get("batch_stats", {}),
-        }
+        variables = {"params": variables["params"],
+                     "batch_stats": batch_stats}
         return cls(model, variables, label_map, audio_cfg)
 
     # ----------------------------------------------------------- fused path

@@ -137,7 +137,11 @@ class TorchGRU(nn.Module):
 
 class CNNAudioGRU(nn.Module):
     """Flagship intent classifier; forward contract matches the reference:
-    ``(B, 64, 200)`` or ``(B, 1, 64, 200)`` log-mel in -> ``(B, C)`` logits."""
+    ``(B, 64, 200)`` or ``(B, 1, 64, 200)`` log-mel in -> ``(B, C)`` logits.
+
+    ``fold_bn=True`` builds the inference-only variant whose BatchNorms have
+    been folded into the conv kernels/biases (see :func:`fold_batchnorm`) —
+    identical math, no fp32 BN round-trips between the bf16 convs."""
 
     num_classes: int
     conv_channels: Sequence[int] = (32, 64, 128)
@@ -145,6 +149,7 @@ class CNNAudioGRU(nn.Module):
     gru_layers: int = 2
     dropout: float = 0.5
     compute_dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -158,13 +163,14 @@ class CNNAudioGRU(nn.Module):
 
         for i, features in enumerate(self.conv_channels):
             x = nn.Conv(features, (3, 3), strides=1, padding="SAME",
-                        use_bias=False, dtype=self.compute_dtype,
+                        use_bias=self.fold_bn, dtype=self.compute_dtype,
                         param_dtype=jnp.float32, name=f"conv{i + 1}")(x)
-            # BatchNorm in fp32 for stable statistics under bf16 compute.
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=jnp.float32,
-                             param_dtype=jnp.float32,
-                             name=f"bn{i + 1}")(x.astype(jnp.float32))
+            if not self.fold_bn:
+                # BatchNorm in fp32 for stable statistics under bf16 compute.
+                x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 epsilon=1e-5, dtype=jnp.float32,
+                                 param_dtype=jnp.float32,
+                                 name=f"bn{i + 1}")(x.astype(jnp.float32))
             x = nn.relu(x).astype(self.compute_dtype)
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
 
@@ -203,3 +209,33 @@ def init_model(model: CNNAudioGRU, rng: jax.Array,
 
 def count_params(params) -> int:
     return sum(int(p.size) for p in jax.tree.leaves(params))
+
+
+def fold_batchnorm(params: dict, batch_stats: dict, eps: float = 1e-5) -> dict:
+    """Fold eval-mode BatchNorm into the preceding conv (inference only).
+
+    ``BN(conv(x)) == conv'(x) + bias'`` with
+    ``kernel' = kernel * scale / sqrt(var + eps)`` (per output channel) and
+    ``bias' = bias - mean * scale / sqrt(var + eps)``.  Returns a params tree
+    for ``CNNAudioGRU(fold_bn=True)`` — batch_stats are consumed.
+    """
+    out = {k: v for k, v in params.items() if not k.startswith("bn")}
+    for name in list(params):
+        if not name.startswith("conv"):
+            continue
+        idx = name[len("conv"):]
+        bn = params.get(f"bn{idx}")
+        stats = batch_stats.get(f"bn{idx}")
+        if bn is None or stats is None:
+            continue
+        scale = jnp.asarray(bn["scale"], jnp.float32)
+        bias = jnp.asarray(bn["bias"], jnp.float32)
+        mean = jnp.asarray(stats["mean"], jnp.float32)
+        var = jnp.asarray(stats["var"], jnp.float32)
+        mult = scale / jnp.sqrt(var + eps)  # (O,)
+        kernel = jnp.asarray(params[name]["kernel"], jnp.float32)
+        out[name] = {
+            "kernel": kernel * mult[None, None, None, :],
+            "bias": bias - mean * mult,
+        }
+    return out

@@ -98,6 +98,29 @@ class TestShapes:
         assert np.isfinite(np.asarray(logits)).all()
 
 
+class TestBatchNormFolding:
+    def test_folded_logits_match(self, rng):
+        from speech_intent_recognizer_tpu.models.cnn_gru import fold_batchnorm
+
+        model = CNNAudioGRU(num_classes=7)
+        variables = init_model(model, jax.random.key(5))
+        # give the running stats non-trivial values
+        bs = jax.tree.map(
+            lambda x: x + 0.3 * jnp.asarray(
+                np.random.default_rng(0).standard_normal(x.shape),
+                x.dtype) ** 2,
+            variables["batch_stats"])
+        x = jnp.asarray(rng.standard_normal((3, 64, 200)), jnp.float32)
+        want = model.apply({"params": variables["params"],
+                            "batch_stats": bs}, x, train=False)
+
+        folded = fold_batchnorm(variables["params"], bs)
+        fmodel = CNNAudioGRU(num_classes=7, fold_bn=True)
+        got = fmodel.apply({"params": folded}, x, train=False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+
 class TestTorchParity:
     @pytest.fixture(scope="class")
     def torch_and_flax(self):
