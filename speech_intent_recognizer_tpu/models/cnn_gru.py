@@ -87,6 +87,9 @@ class TorchGRU(nn.Module):
     bidirectional: bool = True
     dropout: float = 0.5
     compute_dtype: Any = jnp.float32
+    # "scan" (differentiable; training) or "pallas" (single-kernel
+    # recurrence per layer; inference only — no custom VJP)
+    impl: str = "scan"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -119,8 +122,17 @@ class TorchGRU(nn.Module):
                 # One big MXU GEMM per direction for all input projections.
                 gx_f = jnp.swapaxes(jnp.dot(xc, wf[0].T) + wf[2], 0, 1)
                 gx_b = jnp.swapaxes(jnp.dot(xc, wb[0].T) + wb[2], 0, 1)
-                ys_f, ys_b = _gru_bidirectional_scan(
-                    gx_f, gx_b, wf[1], wb[1], wf[3], wb[3], self.hidden_size)
+                if self.impl == "pallas":
+                    from speech_intent_recognizer_tpu.ops.gru_pallas import (
+                        gru_bidirectional_pallas)
+
+                    ys_f, ys_b = gru_bidirectional_pallas(
+                        gx_f, gx_b, wf[1], wb[1], wf[3], wb[3],
+                        self.hidden_size)
+                else:
+                    ys_f, ys_b = _gru_bidirectional_scan(
+                        gx_f, gx_b, wf[1], wb[1], wf[3], wb[3],
+                        self.hidden_size)
                 x = jnp.concatenate([jnp.swapaxes(ys_f, 0, 1),
                                      jnp.swapaxes(ys_b, 0, 1)], axis=-1)
             else:
@@ -150,6 +162,7 @@ class CNNAudioGRU(nn.Module):
     dropout: float = 0.5
     compute_dtype: Any = jnp.float32
     fold_bn: bool = False
+    gru_impl: str = "scan"  # "pallas" for the single-kernel recurrence
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -182,7 +195,8 @@ class CNNAudioGRU(nn.Module):
 
         x = TorchGRU(hidden_size=self.gru_hidden, num_layers=self.gru_layers,
                      bidirectional=True, dropout=self.dropout,
-                     compute_dtype=self.compute_dtype, name="gru")(x, train=train)
+                     compute_dtype=self.compute_dtype, impl=self.gru_impl,
+                     name="gru")(x, train=train)
 
         # Additive attention pooling (softmax in fp32).
         scores = nn.Dense(1, dtype=self.compute_dtype,
