@@ -120,19 +120,23 @@ def _prepare_one(x: jax.Array, length: jax.Array, pad: int, reflect: bool) -> ja
 
 
 def _prepare_batch(waveforms: jax.Array, lengths: jax.Array, pad: int,
-                   reflect: bool) -> jax.Array:
-    """Batched center padding with one bulk copy + per-sample tail patch.
+                   reflect: bool, patch_tail: bool = True) -> jax.Array:
+    """Batched center padding with one bulk copy (+ optional tail patch).
 
     The bulk layout (left reflect | signal | zero tail) is a single
-    concatenate; only the `pad`-sized right-reflect region at each
-    utterance's dynamic end is then patched per sample.
-    """
+    concatenate; the `pad`-sized right-reflect region at each utterance's
+    dynamic end is patched per sample when ``patch_tail`` (the chunked fast
+    path applies it as a sparse chunk update instead — see
+    :func:`_tail_reflect_chunks` — avoiding a second pass over the big
+    buffer)."""
     b, l_max = waveforms.shape
     if not reflect:
         return jnp.pad(waveforms, ((0, 0), (pad, pad)))
     left = waveforms[:, 1 : pad + 1][:, ::-1]
     prepared = jnp.concatenate(
         [left, waveforms, jnp.zeros((b, pad), waveforms.dtype)], axis=1)
+    if not patch_tail:
+        return prepared
 
     def patch(buf, x, length):
         ridx = jnp.clip(length - 2 - jnp.arange(pad), 0, l_max - 1)
@@ -168,8 +172,43 @@ def _mel_power(frames: jax.Array, p: FrontendParams, precision) -> jax.Array:
     return jnp.dot(power, p.mel_fb, precision=precision)
 
 
+def _tail_reflect_chunks(waveforms, lengths, pad: int, hop: int,
+                         n_chunks: int):
+    """Right-reflect tail as sparse chunk-row updates.
+
+    Returns (rows (B, 2) int32, vals (B, 2, hop)) such that adding ``vals``
+    at chunk rows ``rows`` of the zero-tailed chunk view reproduces the
+    exact reflect-padded signal.  The ``pad``-sample reflect region starts
+    at prepared position ``pad + len`` and therefore straddles at most two
+    hop-sized chunk rows; everything here is small-buffer work (one
+    ``hop``-sample slice + one 2*hop-sample embed per sample) instead of a
+    rewrite of the 80k-sample buffer.
+
+    Exact for any length >= 1: the reflect indices ``clip(len-2-k, 0)`` are
+    realized by left-extending the signal with ``pad`` copies of sample 0.
+    """
+    b, l_max = waveforms.shape
+    # xe[j] = x[max(j - pad, 0)]  -> r[k] = x[clip(len-2-k, 0)] = flip(slice)
+    xe = jnp.concatenate(
+        [jnp.repeat(waveforms[:, :1], pad, axis=1), waveforms], axis=1)
+
+    def one(xe_row, length):
+        r = jax.lax.dynamic_slice(xe_row, (length - 1,), (pad,))[::-1]
+        buf = jnp.zeros(2 * hop, xe_row.dtype)
+        offset = (pad + length) % hop
+        return jax.lax.dynamic_update_slice(buf, r, (offset,))
+
+    vals = jax.vmap(one)(xe, lengths).reshape(b, 2, hop)
+    c0 = (pad + lengths) // hop
+    rows = jnp.stack([c0, c0 + 1], axis=1)  # (B, 2)
+    in_range = rows < n_chunks
+    vals = jnp.where(in_range[:, :, None], vals, 0.0)
+    rows = jnp.minimum(rows, n_chunks - 1)
+    return rows.astype(jnp.int32), vals
+
+
 def _mel_power_chunked(prepared: jax.Array, t: int, p: FrontendParams,
-                       precision) -> jax.Array:
+                       precision, tail_update=None) -> jax.Array:
     """(B, L) center-padded signals -> (B, T, n_mels) mel power WITHOUT
     materializing overlapping frames.
 
@@ -178,11 +217,17 @@ def _mel_power_chunked(prepared: jax.Array, t: int, p: FrontendParams,
     — the DFT runs directly on the chunked signal (half the matmul input
     bytes, no 2x-duplicated frame tensor in HBM).  This is the fast path for
     the production 1024/512 configuration.
+
+    ``tail_update``: optional (rows, vals) from :func:`_tail_reflect_chunks`
+    applied as a sparse add on the chunk view (the right-reflect pad).
     """
     hop = p.hop_length
     b = prepared.shape[0]
     n_chunks = t + 1
     chunks = prepared[:, : n_chunks * hop].reshape(b, n_chunks, hop)
+    if tail_update is not None:
+        rows, vals = tail_update
+        chunks = chunks.at[jnp.arange(b)[:, None], rows].add(vals)
 
     def half_dft(w):
         hi, lo = w[:hop], w[hop:]
@@ -206,7 +251,9 @@ def _frontend_impl(waveforms, lengths, dft_cos, dft_sin, mel_fb,
                        target_len, mode, eps, gmean, gstd)
     pad = n_fft // 2
     reflect = mode == "torchaudio"
-    prepared = _prepare_batch(waveforms, lengths, pad, reflect)
+    sparse_tail = reflect and n_fft == 2 * hop and backend != "pallas"
+    prepared = _prepare_batch(waveforms, lengths, pad, reflect,
+                              patch_tail=not sparse_tail)
     b, l_prep = prepared.shape
     t = (l_prep - n_fft) // hop + 1
     if backend == "pallas":
@@ -223,7 +270,10 @@ def _frontend_impl(waveforms, lengths, dft_cos, dft_sin, mel_fb,
     # speech-scale inputs — far below the feature-parity tolerance — at
     # ~1.4x the speed of HIGHEST.
     if n_fft == 2 * hop:
-        mel = _mel_power_chunked(prepared, t, p, jax.lax.Precision.HIGH)
+        tail = (_tail_reflect_chunks(waveforms, lengths, pad, hop, t + 1)
+                if sparse_tail else None)
+        mel = _mel_power_chunked(prepared, t, p, jax.lax.Precision.HIGH,
+                                 tail_update=tail)
     else:
         frames = frame_signal(prepared, n_fft, hop)
         mel = _mel_power(frames, p, jax.lax.Precision.HIGH)
