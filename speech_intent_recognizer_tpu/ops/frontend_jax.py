@@ -15,10 +15,11 @@ contract (``scripts/precompute_features.py:28-73``).
 
 Batched processing of variable-length audio uses static shapes throughout
 (XLA requirement): waveforms arrive zero-padded to a fixed buffer plus their
-true lengths, reflect padding is materialized per-sample with vectorized
-index arithmetic, and per-utterance normalization is computed under a
-valid-frame mask so results are bit-identical to processing each utterance
-alone.
+true lengths; the center padding is one bulk concatenate with the per-sample
+right-reflect applied as a sparse chunk-level update (never a second pass
+over the 80 k-sample buffers); and per-utterance normalization is computed
+under a valid-frame mask so results are bit-identical to processing each
+utterance alone.
 """
 
 from __future__ import annotations
