@@ -135,7 +135,7 @@ class Trainer:
         def step_fn(carry, inp):
             state, rng = carry
             idx, w, features, labels = inp["idx"], inp["w"], inp["features"], inp["labels"]
-            rng, krng, arng, drng, mrng = jax.random.split(rng, 5)
+            rng, arng, drng, mrng = jax.random.split(rng, 4)
             x = self._constrain(features[idx])
             y = labels[idx]
             y_onehot = jax.nn.one_hot(y, num_classes, dtype=jnp.float32)
