@@ -99,19 +99,40 @@ def evaluate_manifest_with_predictor(
     without a feature cache."""
     label_map = predictor.label_map
     inv = predictor.inv_label_map
+    num_classes = max(label_map.values()) + 1 if label_map else 0
+    # Labels outside the map (either side) get a dedicated trailing
+    # `<unknown>` class instead of being silently folded into class 0 /
+    # wrapping to the last column — the confusion matrix must sum to the
+    # evaluated sample count with unknowns visible.
+    unknown_idx = num_classes
+    n_unknown_true = n_unknown_pred = 0
     y_true, y_pred, probs_all = [], [], []
     for path, label in zip(manifest.paths, manifest.labels):
         r = predictor.predict_file(path)
         if r is None:
             continue
-        y_true.append(label_map.get(label, 0))
-        y_pred.append(label_map.get(r["predicted_label"], -1))
+        t = label_map.get(label)
+        if t is None:
+            n_unknown_true += 1
+            t = unknown_idx
+        p = label_map.get(r["predicted_label"])
+        if p is None:
+            n_unknown_pred += 1
+            p = unknown_idx
+        y_true.append(t)
+        y_pred.append(p)
         probs_all.append(r["confidence"])
-    num_classes = max(label_map.values()) + 1 if label_map else 0
+    has_unknown = bool(n_unknown_true or n_unknown_pred)
+    if has_unknown:
+        logger.warning(
+            "labels outside the label map: %d true, %d predicted — "
+            "reported as '<unknown>'", n_unknown_true, n_unknown_pred)
+    n_eff = num_classes + 1 if has_unknown else num_classes
     names = [inv.get(i, str(i)) for i in range(num_classes)]
-    report = M.classification_report_dict(y_true, y_pred, names, num_classes)
-    cm = M.confusion_matrix(
-        y_true, [max(p, 0) for p in y_pred], num_classes)
+    if has_unknown:
+        names.append("<unknown>")
+    report = M.classification_report_dict(y_true, y_pred, names, n_eff)
+    cm = M.confusion_matrix(y_true, y_pred, n_eff)
     if results_dir is not None:
         os.makedirs(results_dir, exist_ok=True)
         with open(os.path.join(results_dir, "classification_report.txt"),

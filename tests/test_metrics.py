@@ -61,3 +61,67 @@ class TestTopK:
         top = M.top_k_predictions(probs, inv, k=3)
         assert [t["label"] for t in top] == ["b", "d", "a"]
         assert abs(top[0]["probability"] - 0.5) < 1e-9
+
+
+class TestManifestEvaluatorUnknowns:
+    """Regression: out-of-map labels must get a dedicated '<unknown>' class,
+    not be folded into class 0 (old ``max(p, 0)``) or wrap to the last
+    column via negative indexing; the CM must sum to the sample count."""
+
+    def test_unknown_labels_get_dedicated_row(self, tmp_path):
+        from speech_intent_recognizer_tpu.evaluation.evaluate import (
+            evaluate_manifest_with_predictor)
+
+        label_map = {"a": 0, "b": 1, "c": 2}
+
+        class StubPredictor:
+            def __init__(self):
+                self.label_map = label_map
+                self.inv_label_map = {v: k for k, v in label_map.items()}
+
+            def predict_file(self, path):
+                # path encodes the predicted label for the test
+                return {"predicted_label": path.split(":")[1],
+                        "confidence": 0.9}
+
+        class StubManifest:
+            # one unknown prediction ("zz") and one unknown true label ("q")
+            paths = ["p:a", "p:b", "p:zz", "p:c", "p:a"]
+            labels = ["a", "b", "b", "q", "a"]
+
+        res = evaluate_manifest_with_predictor(StubPredictor(), StubManifest())
+        cm = res["confusion_matrix"]
+        assert cm.shape == (4, 4)  # 3 classes + <unknown>
+        assert cm.sum() == 5
+        # unknown prediction lands in the <unknown> column of true row b
+        assert cm[1, 3] == 1
+        # unknown true label lands in the <unknown> row
+        assert cm[3, :].sum() == 1
+        # class 0 is NOT polluted: exactly the two correct 'a' samples
+        assert cm[0, 0] == 2 and cm[:, 0].sum() == 2
+        assert "<unknown>" in res["report"]["classes"]
+        # accuracy: 3 correct (a,b,a) of 5
+        assert abs(res["accuracy"] - 0.6) < 1e-9
+
+    def test_no_unknowns_keeps_shape(self):
+        from speech_intent_recognizer_tpu.evaluation.evaluate import (
+            evaluate_manifest_with_predictor)
+
+        label_map = {"a": 0, "b": 1}
+
+        class StubPredictor:
+            def __init__(self):
+                self.label_map = label_map
+                self.inv_label_map = {v: k for k, v in label_map.items()}
+
+            def predict_file(self, path):
+                return {"predicted_label": path.split(":")[1],
+                        "confidence": 1.0}
+
+        class StubManifest:
+            paths = ["p:a", "p:b"]
+            labels = ["a", "b"]
+
+        res = evaluate_manifest_with_predictor(StubPredictor(), StubManifest())
+        assert res["confusion_matrix"].shape == (2, 2)
+        assert res["accuracy"] == 1.0
