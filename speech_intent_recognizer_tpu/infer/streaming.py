@@ -35,6 +35,19 @@ from speech_intent_recognizer_tpu.ops.frontend_jax import (
 _BLOCK = 16  # frames per steady-state jit call
 
 
+def golden_hann(n_fft: int, audio_cfg: AudioConfig) -> np.ndarray:
+    """The (possibly center-padded) hann window the DFT matrices fold in —
+    identical construction to ``make_frontend_params``."""
+    from speech_intent_recognizer_tpu.ops import frontend_numpy as golden
+
+    window = golden.hann_window(audio_cfg.win_length)
+    if audio_cfg.win_length < n_fft:
+        lpad = (n_fft - audio_cfg.win_length) // 2
+        window = np.pad(window,
+                        (lpad, n_fft - audio_cfg.win_length - lpad))
+    return window
+
+
 @partial(jax.jit, static_argnames=("n_fft",))
 def _mel_db_frames(frames, dft_cos, dft_sin, mel_fb, n_fft):
     """(F, n_fft) windowed-signal frames -> (F, n_mels) dB-mel."""
@@ -63,7 +76,7 @@ class StreamingFeaturizer:
 
     def __init__(self, params: Optional[FrontendParams] = None,
                  audio_cfg: Optional[AudioConfig] = None,
-                 mode: str = "host"):
+                 mode: str = "host", host_dtype=np.float32):
         self.audio_cfg = audio_cfg or AudioConfig()
         self.params = params or make_frontend_params(self.audio_cfg)
         if self.params.frontend != "torchaudio":
@@ -76,13 +89,27 @@ class StreamingFeaturizer:
         self.hop = self.params.hop_length
         self.pad = self.n_fft // 2
         if mode == "host":
-            self._np_cos = np.asarray(self.params.dft_cos, np.float64)
-            self._np_sin = np.asarray(self.params.dft_sin, np.float64)
-            self._np_fb = np.asarray(self.params.mel_fb, np.float64)
+            # Host frames go through rFFT, not the windowed-DFT matmuls the
+            # device path uses: a 2-frame chunk against the (n_fft, n_freqs)
+            # cos/sin matrices is memory-bound (re-reads ~4 MB of matrix per
+            # chunk, ~6 ms on the 1-core host) while an rfft of 2 windowed
+            # frames is microseconds.  Numerically the same transform.
+            # fp32 by default; fp64 stays available (host_dtype=np.float64)
+            # for the golden parity tests.
+            self._host_dtype = np.dtype(host_dtype)
+            win = golden_hann(self.params.n_fft, self.audio_cfg)
+            self._np_win = win.astype(self._host_dtype)
+            self._np_fb = np.asarray(self.params.mel_fb, self._host_dtype)
+        # prepared-signal buffer: [left reflect pad | raw signal], written
+        # incrementally so feed() never reallocates or copies the history
+        self._prep_buf = np.zeros(self.pad + self.audio_cfg.max_samples,
+                                  np.float32)
         self.reset()
 
     def reset(self) -> None:
-        self._signal = np.zeros(0, np.float32)  # raw samples seen so far
+        self._n = 0  # raw samples seen so far (capped)
+        self._left_filled = 0  # how much of the left reflect pad is final
+        self._prep_buf[: self.pad] = 0.0
         self._frames_done = 0  # frames already emitted
         self._mel_frames: list[np.ndarray] = []
         self._sum = 0.0
@@ -91,22 +118,43 @@ class StreamingFeaturizer:
 
     # ------------------------------------------------------------- internals
 
+    @property
+    def _signal(self) -> np.ndarray:
+        """Raw samples seen so far (view into the prepared buffer)."""
+        return self._prep_buf[self.pad : self.pad + self._n]
+
     def _prepared(self, upto: Optional[int] = None) -> np.ndarray:
         """Left-reflect-padded signal (tail reflect added by finalize)."""
-        sig = self._signal if upto is None else self._signal[:upto]
-        if len(sig) < 2:
-            return sig
-        left = sig[1 : self.pad + 1][::-1]
-        return np.concatenate([left, sig])
+        self._fill_left_pad()
+        n = self._n if upto is None else min(upto, self._n)
+        if n < 2:
+            return self._prep_buf[self.pad : self.pad + n]
+        left = min(self.pad, n - 1)
+        return self._prep_buf[self.pad - left : self.pad + n]
+
+    def _fill_left_pad(self) -> None:
+        """Mirror sig[1 : pad+1] into the pad region as samples arrive."""
+        if self._left_filled >= self.pad:
+            return
+        avail = min(self.pad, self._n - 1)
+        if avail > self._left_filled:
+            src = self._prep_buf[self.pad + 1 + self._left_filled :
+                                 self.pad + 1 + avail]
+            self._prep_buf[self.pad - avail :
+                           self.pad - self._left_filled] = src[::-1]
+            self._left_filled = avail
 
     def _emit(self, frames_np: np.ndarray) -> None:
         if frames_np.shape[0] == 0:
             return
         if self.mode == "host":
-            c = frames_np.astype(np.float64) @ self._np_cos
-            s = frames_np.astype(np.float64) @ self._np_sin
-            mel = (c * c + s * s) @ self._np_fb
-            out = (10.0 * np.log10(np.maximum(mel, 1e-10))).astype(np.float32)
+            f = frames_np.astype(self._host_dtype) * self._np_win
+            spec = np.fft.rfft(f, axis=1)
+            power = (spec.real * spec.real + spec.imag * spec.imag
+                     ).astype(self._host_dtype)
+            mel = power @ self._np_fb
+            out = (10.0 * np.log10(np.maximum(mel, 1e-10),
+                                   dtype=np.float32)).astype(np.float32)
             self._mel_frames.append(out)
             self._sum += float(out.sum())
             self._sumsq += float((out.astype(np.float64) ** 2).sum())
@@ -132,12 +180,12 @@ class StreamingFeaturizer:
 
     def _window_frames(self, prepared: np.ndarray, start_frame: int,
                        n_frames: int) -> np.ndarray:
-        # the hann window is folded into the DFT matrices; frames are raw
-        out = np.empty((n_frames, self.n_fft), np.float32)
-        for i in range(n_frames):
-            s = (start_frame + i) * self.hop
-            out[i] = prepared[s : s + self.n_fft]
-        return out
+        # the hann window is folded into the DFT matrices; frames are raw.
+        # Zero-copy strided view — BLAS handles the strided matmul input.
+        s0 = start_frame * self.hop
+        end = s0 + (n_frames - 1) * self.hop + self.n_fft
+        return np.lib.stride_tricks.sliding_window_view(
+            prepared[s0:end], self.n_fft)[:: self.hop]
 
     # ------------------------------------------------------------------ API
 
@@ -149,19 +197,24 @@ class StreamingFeaturizer:
         Returns the number of frames emitted so far.
         """
         chunk = np.asarray(chunk, np.float32).reshape(-1)
-        self._signal = np.concatenate([self._signal, chunk])
-        n = len(self._signal)
-        if n > self.audio_cfg.max_samples:  # reference 5 s cap
-            self._signal = self._signal[: self.audio_cfg.max_samples]
-            n = len(self._signal)
+        space = self.audio_cfg.max_samples - self._n  # reference 5 s cap
+        if space > 0 and chunk.size > 0:
+            take = chunk[:space]
+            self._prep_buf[self.pad + self._n :
+                           self.pad + self._n + take.size] = take
+            self._n += take.size
+        n = self._n
+        self._fill_left_pad()
         # complete frames available without tail padding
         avail = max(0, (n + self.pad - self.n_fft) // self.hop + 1)
         total_frames = 1 + n // self.hop  # final count incl. tail-padded
         avail = min(avail, total_frames)
         new = avail - self._frames_done
         if new > 0 and n > self.pad:
-            prepared = self._prepared()
-            frames = self._window_frames(prepared, self._frames_done, new)
+            # n > pad guarantees the left reflect region is fully final, so
+            # frame t starts at prep_buf[t*hop] exactly
+            frames = self._window_frames(self._prep_buf, self._frames_done,
+                                         new)
             self._emit(frames)
         return self._frames_done
 

@@ -82,6 +82,29 @@ class TestStreamingFeaturizer:
         out = fz.partial_features()
         assert out.shape == (64, 200)
 
+    def test_fp64_host_path_matches_golden_tight(self, rng):
+        """host_dtype=float64 is the high-precision parity reference; the
+        default fp32 host path must stay within the serving tolerance of
+        it (fp32 is the production default for host featurization)."""
+        from speech_intent_recognizer_tpu.ops.frontend_numpy import (
+            log_mel_spectrogram_np, pad_or_trim_np)
+
+        cfg = AudioConfig()
+        n = 24000
+        x = _speech_like(rng, n)
+        golden = pad_or_trim_np(log_mel_spectrogram_np(x),
+                                cfg.mel_spec_length)
+        outs = {}
+        for dt in (np.float64, np.float32):
+            fz = StreamingFeaturizer(audio_cfg=cfg, host_dtype=dt)
+            for i in range(0, n, 1024):
+                fz.feed(x[i : i + 1024])
+            outs[dt] = fz.finalize()
+        np.testing.assert_allclose(outs[np.float64], golden,
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(outs[np.float32], outs[np.float64],
+                                   rtol=2e-3, atol=2e-3)
+
     def test_host_and_device_modes_match(self, rng):
         cfg = AudioConfig()
         x = _speech_like(rng, 20000)
