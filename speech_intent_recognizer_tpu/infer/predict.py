@@ -202,6 +202,20 @@ class Wav2VecPredictor(Predictor):
                     from transformers import Wav2Vec2Config
 
                     wav2vec_config = Wav2Vec2Config(**meta["wav2vec_config"])
+        if wav2vec_config is None and (model_path.endswith(".pt")
+                                       or model_path.endswith(".pth")):
+            # bare reference checkpoint: reconstruct the backbone config
+            # from the torch state dict's weight shapes
+            from speech_intent_recognizer_tpu.convert.torch_import import (
+                load_torch_checkpoint)
+            from speech_intent_recognizer_tpu.convert.wav2vec_import import (
+                infer_wav2vec_config)
+
+            state = load_torch_checkpoint(model_path)
+            backbone = {k.split(".", 1)[1]: v for k, v in state.items()
+                        if k.startswith(("wav2vec.", "wav2vec2."))}
+            if backbone:
+                wav2vec_config = infer_wav2vec_config(backbone)
         model, _ = create_wav2vec_intent(num_classes, config=wav2vec_config)
         return cls(model, {"params": params}, label_map, audio_cfg)
 

@@ -8,9 +8,11 @@ the head matches the reference design: attention scores ``hidden -> 1``,
 softmax over time, weighted sum, ``hidden -> num_classes``.
 
 Notes:
-* transformers' Flax wav2vec2 implements the *stable-layer-norm* variant
-  (``do_stable_layer_norm=True``, e.g. wav2vec2-large-lv60 checkpoints); the
-  base variant's config is adjusted accordingly on init.
+* the backbone is the first-party Flax implementation in
+  ``models/wav2vec_flax.py`` supporting BOTH architecture variants — the
+  reference's ``facebook/wav2vec2-base`` (``do_stable_layer_norm=False``,
+  group feat norm) is reproduced faithfully, unlike transformers' Flax
+  port, which only implements the stable-LN variant.
 * ``freeze_feature_extractor`` (the reference trainer's option) is realized
   functionally: :func:`feature_extractor_mask` labels the feature-encoder
   subtree and the optimizer zeroes those updates — no mutable
@@ -62,6 +64,28 @@ def small_wav2vec_config(hidden_size: int = 64, num_layers: int = 2):
     )
 
 
+def small_wav2vec_base_config(hidden_size: int = 64, num_layers: int = 2):
+    """Tiny config with the ``facebook/wav2vec2-base`` architecture flags
+    (post-LN encoder, group feat norm, biasless convs) for tests."""
+    from transformers import Wav2Vec2Config
+
+    return Wav2Vec2Config(
+        hidden_size=hidden_size,
+        num_hidden_layers=num_layers,
+        num_attention_heads=max(2, hidden_size // 32),
+        intermediate_size=hidden_size * 2,
+        conv_dim=(32, 32, 32),
+        conv_kernel=(10, 3, 3),
+        conv_stride=(5, 2, 2),
+        num_feat_extract_layers=3,
+        num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4,
+        do_stable_layer_norm=False,
+        feat_extract_norm="group",
+        conv_bias=False,
+    )
+
+
 class Wav2VecIntent(nn.Module):
     """wav2vec2 encoder + attention pooling + intent head.
 
@@ -73,18 +97,19 @@ class Wav2VecIntent(nn.Module):
     compute_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, input_values, attention_mask=None, train: bool = False):
-        from transformers.models.wav2vec2.modeling_flax_wav2vec2 import (
-            FlaxWav2Vec2Module)
+    def __call__(self, input_values, attention_mask=None, train: bool = False,
+                 mask_time_indices=None):
+        from speech_intent_recognizer_tpu.models.wav2vec_flax import (
+            Wav2Vec2Backbone)
 
-        backbone = FlaxWav2Vec2Module(self.config, dtype=self.compute_dtype,
-                                      name="wav2vec2")
-        outputs = backbone(
+        backbone = Wav2Vec2Backbone(self.config, dtype=self.compute_dtype,
+                                    name="wav2vec2")
+        hidden = backbone(
             input_values.astype(self.compute_dtype),
             attention_mask=attention_mask,
+            mask_time_indices=mask_time_indices,
             deterministic=not train,
-        )
-        hidden = outputs[0]  # (B, T', H)
+        )  # (B, T', H)
 
         scores = nn.Dense(1, dtype=jnp.float32, param_dtype=jnp.float32,
                           name="attention")(hidden.astype(jnp.float32))
@@ -111,12 +136,20 @@ def create_wav2vec_intent(
 
         if model_name:
             try:
-                from transformers import FlaxWav2Vec2Model
+                # torch checkpoint -> first-party Flax tree via the
+                # converter (handles weight-norm folding etc.)
+                from transformers import Wav2Vec2Model
 
-                hf = FlaxWav2Vec2Model.from_pretrained(
-                    model_name, local_files_only=True)
+                from speech_intent_recognizer_tpu.convert.wav2vec_import \
+                    import convert_wav2vec_state_dict
+
+                hf = Wav2Vec2Model.from_pretrained(model_name,
+                                                   local_files_only=True)
                 config = hf.config
-                pretrained_params = {"wav2vec2": hf.params}
+                state = {k: v.detach().numpy()
+                         for k, v in hf.state_dict().items()}
+                pretrained_params = {
+                    "wav2vec2": convert_wav2vec_state_dict(state, config)}
             except Exception as e:
                 logger.warning(
                     "pretrained %s unavailable (%s); random init from config",
@@ -125,11 +158,9 @@ def create_wav2vec_intent(
                     model_name) if _cached(model_name) else None
         if config is None:
             config = small_wav2vec_config()
-    if not getattr(config, "do_stable_layer_norm", False):
-        logger.warning("forcing do_stable_layer_norm/layer feat norm "
-                       "(the Flax wav2vec2 implementation requirement)")
-        config.do_stable_layer_norm = True
-        config.feat_extract_norm = "layer"
+    # Both architecture variants are supported natively (wav2vec_flax.py):
+    # the reference's facebook/wav2vec2-base (do_stable_layer_norm=False,
+    # group feat norm) is reproduced faithfully — no config mutation.
     model = Wav2VecIntent(config=config, num_classes=num_classes,
                           compute_dtype=compute_dtype)
     return model, pretrained_params

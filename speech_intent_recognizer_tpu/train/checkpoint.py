@@ -140,10 +140,18 @@ def load_model_checkpoint(path: str, template: Optional[dict] = None) -> dict:
     """Load model variables from .msgpack (native) or .pt (torch interop)."""
     if path.endswith(".pt") or path.endswith(".pth"):
         from speech_intent_recognizer_tpu.convert.torch_import import (
-            convert_torch_checkpoint)
+            convert_torch_state_dict, load_torch_checkpoint)
 
-        _, variables = convert_torch_checkpoint(path)
-        return variables
+        state = load_torch_checkpoint(path)
+        if any(k.startswith(("wav2vec.", "wav2vec2.")) for k in state):
+            # reference fine-tuned Wav2VecIntent layout
+            from speech_intent_recognizer_tpu.convert.wav2vec_import import (
+                convert_wav2vec_intent_state_dict)
+
+            params, _ = convert_wav2vec_intent_state_dict(state)
+            return {"params": params}
+        params, batch_stats = convert_torch_state_dict(state)
+        return {"params": params, "batch_stats": batch_stats}
     with open(path, "rb") as f:
         data = f.read()
     if template is not None:
