@@ -94,10 +94,13 @@ def make_frontend_params(
 
 
 def default_backend_choice() -> str:
-    """The chunked half-DFT XLA path currently measures fastest everywhere
-    (7.0 ms vs 10.8 ms per 256-batch for the frame-tensor Pallas kernel on
-    v5e — the kernel re-reads the 2x-overlapped frames from HBM).  The
-    Pallas kernel remains available via ``backend="pallas"``."""
+    """The chunked half-DFT XLA path currently measures fastest (v5e,
+    interleaved best-of-8: 4.61 vs 5.45 ms per 256-batch and 16.9 vs 18.0 ms
+    per 1024-batch against the fully fused raw-rows Pallas kernel), and its
+    ``Precision.HIGH`` DFT tracks the fp32 golden to ~0.1 dB even in
+    near-clamp spectral valleys of real recordings, where the kernel's
+    hand-rolled 3-pass bf16 DFT shows tens of dB of noise.  The Pallas
+    kernel remains available via ``backend="pallas"``."""
     return "xla"
 
 
@@ -208,6 +211,47 @@ def _tail_reflect_chunks(waveforms, lengths, pad: int, hop: int,
     return rows.astype(jnp.int32), vals
 
 
+def _tail_reflect_vals(waveforms, lengths, pad: int, hop: int):
+    """Right-reflect tail as a dense 2-chunk-row correction.
+
+    Returns (vals (B, 2, hop) f32, row (B,) int32): adding ``vals`` at chunk
+    rows ``row``/``row+1`` of the reflect-padded signal's chunk view
+    reproduces the exact tail, for any length >= 1 (the reflect indices
+    ``clip(len-2-k, 0)`` realized by an x[0] fill for tiny lengths).  All
+    per-sample dynamic ops run on <= 2*pad-sized buffers — never on the
+    full waveform buffer.
+    """
+    b = waveforms.shape[0]
+    # seg[j] = x[start + j], start = max(len - pad - 1, 0)
+    start = jnp.maximum(lengths - (pad + 1), 0)
+    seg = jax.vmap(
+        lambda x, s: jax.lax.dynamic_slice(x, (s,), (pad,)))(waveforms, start)
+    rev = seg[:, ::-1]  # len >= pad+1: rev[k] = x[len-2-k] directly
+    fill = jnp.broadcast_to(waveforms[:, :1], (b, pad))
+    ext = jnp.concatenate([rev, fill], axis=1)  # (B, 2*pad)
+    shift = jnp.maximum((pad + 1) - lengths, 0)  # tiny-length adjustment
+    r = jax.vmap(
+        lambda e, s: jax.lax.dynamic_slice(e, (s,), (pad,)))(ext, shift)
+    off = (pad + lengths) % hop
+    buf = jnp.zeros((b, 2 * hop), waveforms.dtype)
+    vals = jax.vmap(
+        lambda z, rr, o: jax.lax.dynamic_update_slice(z, rr, (o,)))(
+            buf, r, off)
+    row = (pad + lengths) // hop
+    return vals.reshape(b, 2, hop), row.astype(jnp.int32)
+
+
+def waveform_rows(waveforms: jax.Array, hop: int) -> jax.Array:
+    """(B, L) zero-padded waveforms -> (B, T, hop) row view for the fused
+    pallas kernel, T = L // hop + 1 (the frame count at hop == n_fft/2)."""
+    b, l_max = waveforms.shape
+    t = l_max // hop + 1
+    need = t * hop
+    if need > l_max:
+        waveforms = jnp.pad(waveforms, ((0, 0), (0, need - l_max)))
+    return waveforms[:, :need].reshape(b, t, hop)
+
+
 def _mel_power_chunked(prepared: jax.Array, t: int, p: FrontendParams,
                        precision, tail_update=None) -> jax.Array:
     """(B, L) center-padded signals -> (B, T, n_mels) mel power WITHOUT
@@ -244,15 +288,30 @@ def _mel_power_chunked(prepared: jax.Array, t: int, p: FrontendParams,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("params_static", "normalize", "pad_to_target", "backend"))
+    static_argnames=("params_static", "normalize", "pad_to_target", "backend",
+                     "out_dtype"))
 def _frontend_impl(waveforms, lengths, dft_cos, dft_sin, mel_fb,
-                   params_static, normalize, pad_to_target, backend="xla"):
+                   params_static, normalize, pad_to_target, backend="xla",
+                   out_dtype=jnp.float32):
     (n_fft, hop, n_mels, target_len, mode, eps, gmean, gstd) = params_static
     p = FrontendParams(dft_cos, dft_sin, mel_fb, n_fft, hop, n_mels, 0,
                        target_len, mode, eps, gmean, gstd)
     pad = n_fft // 2
     reflect = mode == "torchaudio"
-    sparse_tail = reflect and n_fft == 2 * hop and backend != "pallas"
+    sparse_tail = reflect and n_fft == 2 * hop
+    if backend == "pallas" and n_fft == 2 * hop:
+        # Fully fused v4 kernel: reads the RAW waveform rows (no prepared
+        # array in HBM); left reflect + dynamic tail + DFT + mel + dB +
+        # masked normalization + mel-major layout in one pallas_call.
+        from speech_intent_recognizer_tpu.ops import frontend_pallas as fp
+
+        rows = waveform_rows(waveforms, hop)
+        left = waveforms[:, 1 : pad + 1][:, ::-1][:, None, :]  # (B, 1, hop)
+        vals, row0 = _tail_reflect_vals(waveforms, lengths, pad, hop)
+        t = rows.shape[1]
+        return fp.fused_frontend_pallas(
+            rows, lengths, left, vals, row0, p, normalize=normalize,
+            t_out=target_len if pad_to_target else t, out_dtype=out_dtype)
     prepared = _prepare_batch(waveforms, lengths, pad, reflect,
                               patch_tail=not sparse_tail)
     b, l_prep = prepared.shape
@@ -260,13 +319,11 @@ def _frontend_impl(waveforms, lengths, dft_cos, dft_sin, mel_fb,
     if backend == "pallas":
         from speech_intent_recognizer_tpu.ops import frontend_pallas as fp
 
-        if n_fft == 2 * hop:
-            db = fp.mel_db_pallas_chunked(prepared, t, p)
-        else:
-            frames = frame_signal(prepared, n_fft, hop)  # (B, T, n_fft)
-            db = fp.mel_db_pallas(frames.reshape(b * t, n_fft), p).reshape(
-                b, t, n_mels)
-        return _finish(db, lengths, p, normalize, pad_to_target, is_db=True)
+        frames = frame_signal(prepared, n_fft, hop)  # (B, T, n_fft)
+        db = fp.mel_db_pallas(frames.reshape(b * t, n_fft), p).reshape(
+            b, t, n_mels)
+        return _finish(db, lengths, p, normalize, pad_to_target,
+                       is_db=True).astype(out_dtype)
     # HIGH precision (bf16x3 passes): max |error| vs fp32 is ~3e-4 dB on
     # speech-scale inputs — far below the feature-parity tolerance — at
     # ~1.4x the speed of HIGHEST.
@@ -278,7 +335,8 @@ def _frontend_impl(waveforms, lengths, dft_cos, dft_sin, mel_fb,
     else:
         frames = frame_signal(prepared, n_fft, hop)
         mel = _mel_power(frames, p, jax.lax.Precision.HIGH)
-    return _finish(mel, lengths, p, normalize, pad_to_target, is_db=False)
+    return _finish(mel, lengths, p, normalize, pad_to_target,
+                   is_db=False).astype(out_dtype)
 
 
 def _finish(mel, lengths, p, normalize, pad_to_target, is_db):
@@ -330,6 +388,7 @@ def log_mel_frontend(
     normalize: bool = True,
     pad_to_target: bool = True,
     backend: str = "xla",
+    out_dtype=jnp.float32,
 ) -> jax.Array:
     """Batched waveforms -> normalized log-mel features.
 
@@ -341,9 +400,12 @@ def log_mel_frontend(
       normalize: apply the per-utterance (torchaudio mode) or global
         (librosa mode) normalization.
       pad_to_target: pad/trim time axis to ``params.target_length``.
+      out_dtype: output dtype; normalization math is always fp32, the cast
+        happens last (bf16 for direct model handoff skips an HBM round trip).
 
     Returns:
-      (B, n_mels, target_length) float32 (or (B, n_mels, T) if not padded).
+      (B, n_mels, target_length) in ``out_dtype`` (or (B, n_mels, T) if not
+      padded).
     """
     if backend == "auto":
         backend = default_backend_choice()
@@ -354,4 +416,4 @@ def log_mel_frontend(
               params.global_mean, params.global_std)
     return _frontend_impl(waveforms, lengths, params.dft_cos, params.dft_sin,
                           params.mel_fb, static, normalize, pad_to_target,
-                          backend)
+                          backend, jnp.dtype(out_dtype))

@@ -110,110 +110,205 @@ def mel_db_pallas(frames: jax.Array, p: FrontendParams) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
-# v2: chunked kernel — DMA-fed, no overlapped frame tensor.
+# v4: fully fused per-utterance kernel reading RAW waveform rows.
 #
 # With hop = n_fft/2, frame t = [chunk_t | chunk_{t+1}] of non-overlapping
 # hop-sized chunks, so frame_t @ W == chunk_t @ W_hi + chunk_{t+1} @ W_lo.
-# Each grid step manually DMAs a (TILE_T + 1)-chunk window of one utterance
-# from HBM into VMEM (the +1 gives the cross-boundary chunk), computes the
-# half-DFTs, shifted-adds, squares, projects to mel and writes dB rows.
-# HBM traffic is ~1x the signal (vs 2x for the frame-tensor kernel) plus the
-# tiny mel output.
+# Because the center pad equals the hop, the chunk view of the prepared
+# (reflect-padded) signal is exactly ``[reflect_row ; waveform_rows]`` — so
+# the kernel consumes the raw zero-padded waveform directly, viewed as
+# (T, hop) rows, with NO prepared array ever materialized in HBM.  One grid
+# step processes ONE utterance end-to-end:
+#
+#   * the (T, hop) waveform rows stream HBM->VMEM through the pallas
+#     pipeline (automatically double-buffered across grid steps);
+#   * the left-reflect chunk row is assembled in VMEM (a lane flip), and the
+#     dynamic right-reflect tail — precomputed as a tiny (2, hop) correction
+#     by `frontend_jax._tail_reflect_vals` — is added at its dynamic chunk
+#     row via an iota mask;
+#   * the windowed DFT runs as hand-rolled bf16x3 GEMMs (the exact
+#     decomposition XLA uses for Precision.HIGH — Mosaic only exposes
+#     DEFAULT/HIGHEST, and HIGHEST's 6-pass fp32 emulation is what made the
+#     retired v2 kernel lose to the XLA path);
+#   * dB conversion, masked per-utterance normalization, the mel-major
+#     transpose and pad-to-target all happen in VMEM.
+#
+# HBM traffic is ONE read of the signal plus one write of the final
+# (n_mels, t_out) block — the bandwidth floor for this op.  The XLA path by
+# contrast materializes the prepared signal and the DFT/power intermediates.
+#
+# Numerical contract: same bf16x3 DFT as the XLA fast path
+# (`frontend_jax._mel_power_chunked` at Precision.HIGH), exact fp32 mel
+# projection and normalization; matches the NumPy golden / reference
+# torchaudio features (scripts/precompute_features.py:28-73) to ~1e-3 dB.
 # ---------------------------------------------------------------------------
 
-_TILE_T = 64  # frames per grid step
+
+def _split_bf16(x: jax.Array):
+    """f32 -> (hi, lo) bf16 pair with hi + lo == x (to bf16x2 accuracy)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
 
 
-def _mel_db_chunked_kernel(chunks_hbm, wcos_hi, wcos_lo, wsin_hi, wsin_lo,
-                           fb_ref, out_ref, chunk_vmem, sem):
-    b = pl.program_id(0)
-    tile = pl.program_id(1)
-    # window is _TILE_T + 8 chunks: +1 for the cross-boundary chunk, padded
-    # to the fp32 sublane tile (8) that Mosaic requires for DMA slices
-    dma = pltpu.make_async_copy(
-        chunks_hbm.at[b, pl.ds(tile * _TILE_T, _TILE_T + 8), :],
-        chunk_vmem, sem)
-    dma.start()
-    dma.wait()
-    x = chunk_vmem[...]
-    # Mosaic supports DEFAULT/HIGHEST only; HIGHEST keeps exact fp32 parity
-    prec = jax.lax.Precision.HIGHEST
+def _fused_kernel(tvalid_ref, c0_ref, rows_ref, left_ref, vals_ref,
+                  whi_h_ref, whi_l_ref, wlo_h_ref, wlo_l_ref, fb_ref,
+                  out_ref, *, t, t_out, hop, n_mels, normalize, eps,
+                  out_dtype):
+    xr = rows_ref[0]  # (T, hop) f32 raw waveform rows (zero-padded)
+    # Left-reflect chunk row, precomputed in XLA (Mosaic has no lane
+    # reversal): prepared[j] = x[hop - j] for j in [0, hop).
+    chunks = jnp.concatenate([left_ref[0], xr], axis=0)  # (C, hop), C = t+1
+    # Dynamic right-reflect tail: add the (2, hop) correction at chunk rows
+    # c0 / c0+1 (row c0+1 may fall off the end — the mask drops it).
+    b_idx = pl.program_id(0)
+    c0 = c0_ref[b_idx]
+    v = vals_ref[0]  # (2, hop)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (t + 1, hop), 0)
+    chunks = (chunks
+              + jnp.where(rowi == c0,
+                          jnp.broadcast_to(v[0:1], (t + 1, hop)), 0.0)
+              + jnp.where(rowi == c0 + 1,
+                          jnp.broadcast_to(v[1:2], (t + 1, hop)), 0.0))
+    xh, xl = _split_bf16(chunks)
 
-    def half_dft(hi_ref, lo_ref):
-        a = jnp.dot(x, hi_ref[...], preferred_element_type=jnp.float32,
-                    precision=prec)
-        bb = jnp.dot(x, lo_ref[...], preferred_element_type=jnp.float32,
-                     precision=prec)
-        return a[:_TILE_T] + bb[1 : _TILE_T + 1]
+    def high_dot(wh_ref, wl_ref):
+        # bf16x3: x @ W ~= xh@Wh + xh@Wl + xl@Wh (== XLA Precision.HIGH)
+        wh = wh_ref[...]
+        acc = jnp.dot(xh, wh, preferred_element_type=jnp.float32)
+        acc = acc + jnp.dot(xh, wl_ref[...],
+                            preferred_element_type=jnp.float32)
+        return acc + jnp.dot(xl, wh, preferred_element_type=jnp.float32)
 
-    c = half_dft(wcos_hi, wcos_lo)
-    s = half_dft(wsin_hi, wsin_lo)
-    power = c * c + s * s
+    a = high_dot(whi_h_ref, whi_l_ref)  # (C, 2F): [cos | sin] lanes
+    bb = high_dot(wlo_h_ref, wlo_l_ref)
+    cs = a[:t] + bb[1 : t + 1]  # shifted add joins the two half-frames
+    f_pad = fb_ref.shape[0]
+    c = cs[:, :f_pad]
+    s = cs[:, f_pad:]
+    power = c * c + s * s  # (t, F)
+    # Small GEMM; exact fp32 keeps the mel projection bit-clean.
     mel = jnp.dot(power, fb_ref[...], preferred_element_type=jnp.float32,
-                  precision=prec)
-    out_ref[0] = (10.0 / np.log(10.0)) * jnp.log(jnp.maximum(mel, 1e-10))
+                  precision=jax.lax.Precision.HIGHEST)  # (t, n_mels_pad)
+    db = (10.0 / np.log(10.0)) * jnp.log(jnp.maximum(mel, 1e-10))
+
+    n_mels_pad = db.shape[1]
+    tv = tvalid_ref[b_idx]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (t, n_mels_pad), 0)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (t, n_mels_pad), 1)
+    mask = jnp.logical_and(rows < tv, lanes < n_mels).astype(jnp.float32)
+    if normalize:
+        # Per-utterance mean / unbiased std over valid frames x real mels
+        # (reference contract: precompute_features.py:73, ddof=1).
+        cnt = tv.astype(jnp.float32) * n_mels
+        mean = jnp.sum(db * mask) / cnt
+        var = jnp.sum(jnp.square(db - mean) * mask) / jnp.maximum(
+            cnt - 1.0, 1.0)
+        db = (db - mean) / (jnp.sqrt(var) + eps)
+    db = db * mask  # zero padded frames and pad lanes
+    dbt = db.T[:n_mels]  # (n_mels, t) mel-major, as the model consumes it
+    if t_out > t:
+        dbt = jnp.concatenate(
+            [dbt, jnp.zeros((n_mels, t_out - t), jnp.float32)], axis=1)
+    else:
+        dbt = dbt[:, :t_out]
+    out_ref[0] = dbt.astype(out_dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("t", "hop", "n_mels",
-                                             "interpret"))
-def _mel_db_chunked_call(prepared, wcos, wsin, fb, t, hop, n_mels, interpret):
-    b = prepared.shape[0]
-    t_pad = _round_up(t, _TILE_T)
-    n_chunks = t_pad + 8  # +1 boundary chunk, padded to the sublane tile
-    need = n_chunks * hop
-    if prepared.shape[1] < need:
-        prepared = jnp.pad(prepared, ((0, 0), (0, need - prepared.shape[1])))
-    chunks = prepared[:, :need].reshape(b, n_chunks, hop)
-    f_pad = wcos.shape[1]
-    grid = (b, t_pad // _TILE_T)
-    out = pl.pallas_call(
-        _mel_db_chunked_kernel,
-        grid=grid,
+@functools.partial(jax.jit, static_argnames=(
+    "t_out", "hop", "n_mels", "normalize", "eps", "out_dtype", "interpret"))
+def _fused_call(rows, t_valid, c0, left, vals, whi_h, whi_l, wlo_h, wlo_l,
+                fb, t_out, hop, n_mels, normalize, eps, out_dtype, interpret):
+    b, t, _ = rows.shape  # T waveform rows -> T frames (C = T + 1 chunks)
+    f2 = whi_h.shape[1]  # 2 * padded freq bins
+    n_mels_pad = fb.shape[1]
+    kernel = functools.partial(
+        _fused_kernel, t=t, t_out=t_out, hop=hop, n_mels=n_mels,
+        normalize=normalize, eps=eps, out_dtype=out_dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # chunks stay in HBM
-            # hi/lo halves of the windowed DFT matrices: same operand passed
-            # twice, block index selecting the top (0) or bottom (1) half
-            pl.BlockSpec((hop, f_pad), lambda i, j: (0, 0),
+            pl.BlockSpec((1, t, hop), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((hop, f_pad), lambda i, j: (1, 0),
+            pl.BlockSpec((1, 1, hop), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((hop, f_pad), lambda i, j: (0, 0),
+            pl.BlockSpec((1, 2, hop), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((hop, f_pad), lambda i, j: (1, 0),
+            pl.BlockSpec((hop, f2), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((f_pad, n_mels), lambda i, j: (0, 0),
+            pl.BlockSpec((hop, f2), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((hop, f2), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hop, f2), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f2 // 2, n_mels_pad),
+                         lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, _TILE_T, n_mels),
-                               lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((1, n_mels, t_out), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, t_pad, n_mels), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((_TILE_T + 8, hop), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, n_mels, t_out), out_dtype),
         cost_estimate=pl.CostEstimate(
-            flops=b * t_pad * (4 * hop * f_pad + 2 * f_pad * n_mels),
-            bytes_accessed=(b * need + 4 * hop * f_pad
-                            + f_pad * n_mels + b * t_pad * n_mels) * 4,
-            transcendentals=b * t_pad * n_mels,
+            # 6 bf16 passes over 2 (C, hop) x (hop, 2F) GEMMs + the mel GEMM
+            flops=b * (6 * 2 * (t + 1) * hop * f2
+                       + 2 * t * (f2 // 2) * n_mels_pad),
+            bytes_accessed=(b * t * hop * 4 + 4 * hop * f2 * 2
+                            + (f2 // 2) * n_mels_pad * 4
+                            + b * n_mels * t_out * 4),
+            transcendentals=b * t * n_mels_pad,
         ),
         interpret=interpret,
-    )(chunks, wcos, wcos, wsin, wsin, fb)
-    return out[:, :t]
+    )(t_valid, c0, rows, left, vals, whi_h, whi_l, wlo_h, wlo_l, fb)
 
 
-def mel_db_pallas_chunked(prepared: jax.Array, t: int,
-                          p: FrontendParams) -> jax.Array:
-    """(B, L) center-padded signals -> (B, T, n_mels) dB-mel (chunked v2
-    kernel; requires hop == n_fft/2)."""
-    if p.n_fft != 2 * p.hop_length:
-        raise ValueError("chunked kernel requires hop == n_fft / 2")
+def _fused_operands(p: FrontendParams):
+    """Precompute the kernel's constant operands: hi/lo chunk halves of the
+    windowed [cos | sin] DFT matrix, each split into a bf16 (hi, lo) pair,
+    plus the lane-padded fp32 mel filterbank."""
     wcos, wsin, fb = _padded_operands(p)
-    interpret = jax.default_backend() != "tpu"
     n_mels_pad = _round_up(p.n_mels, _LANE)
     if n_mels_pad != p.n_mels:
         fb = jnp.pad(fb, ((0, 0), (0, n_mels_pad - p.n_mels)))
-    out = _mel_db_chunked_call(prepared, wcos, wsin, fb, t, p.hop_length,
-                               n_mels_pad, interpret)
-    return out[..., : p.n_mels]
+    hop = p.hop_length
+    w = jnp.concatenate([wcos, wsin], axis=1)  # (n_fft, 2F)
+    whi_h, whi_l = _split_bf16(w[:hop])
+    wlo_h, wlo_l = _split_bf16(w[hop:])
+    return whi_h, whi_l, wlo_h, wlo_l, fb
+
+
+def fused_frontend_pallas(wf_rows: jax.Array, lengths: jax.Array,
+                          left_row: jax.Array, tail_vals: jax.Array,
+                          tail_row: jax.Array,
+                          p: FrontendParams, normalize: bool = True,
+                          t_out: int | None = None,
+                          out_dtype=jnp.float32) -> jax.Array:
+    """Fully fused front-end: raw waveform rows -> normalized log-mel.
+
+    Args:
+      wf_rows: (B, T, hop) f32 — the zero-padded waveform buffer viewed as
+        hop-sized rows (``frontend_jax.waveform_rows``); T = frame count.
+      lengths: (B,) int32 true sample counts.
+      left_row: (B, 1, hop) left-reflect chunk row (flip of samples 1..hop;
+        computed in XLA — Mosaic has no lane reversal).
+      tail_vals: (B, 2, hop) right-reflect correction
+        (``frontend_jax._tail_reflect_vals``).
+      tail_row: (B,) int32 first chunk row of the correction.
+      normalize: fuse the masked per-utterance mean/std normalization.
+      t_out: output time axis (pad/trim); defaults to ``p.target_length``.
+      out_dtype: output dtype (f32, or bf16 for direct model handoff).
+    """
+    if p.n_fft != 2 * p.hop_length:
+        raise ValueError("fused kernel requires hop == n_fft / 2")
+    t_out = p.target_length if t_out is None else t_out
+    whi_h, whi_l, wlo_h, wlo_l, fb = _fused_operands(p)
+    interpret = jax.default_backend() != "tpu"
+    t_valid = (1 + lengths // p.hop_length).astype(jnp.int32)
+    return _fused_call(wf_rows, t_valid, tail_row.astype(jnp.int32),
+                       left_row, tail_vals, whi_h, whi_l, wlo_h, wlo_l, fb,
+                       t_out, p.hop_length, p.n_mels, normalize,
+                       p.norm_eps, jnp.dtype(out_dtype), interpret)
