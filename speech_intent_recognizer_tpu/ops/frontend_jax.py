@@ -93,14 +93,21 @@ def make_frontend_params(
     )
 
 
-def default_backend_choice() -> str:
-    """The chunked half-DFT XLA path currently measures fastest (v5e,
-    interleaved best-of-8: 4.61 vs 5.45 ms per 256-batch and 16.9 vs 18.0 ms
-    per 1024-batch against the fully fused raw-rows Pallas kernel), and its
-    ``Precision.HIGH`` DFT tracks the fp32 golden to ~0.1 dB even in
-    near-clamp spectral valleys of real recordings, where the kernel's
-    hand-rolled 3-pass bf16 DFT shows tens of dB of noise.  The Pallas
-    kernel remains available via ``backend="pallas"``."""
+def default_backend_choice(params: "FrontendParams | None" = None) -> str:
+    """Pick the fastest measured backend for ``backend="auto"``.
+
+    The fully fused factorized-DFT Pallas kernel (``frontend_pallas``) wins
+    on the standard torchaudio config (v5e, interleaved best-of-rounds:
+    3.96 vs 4.62 ms per 256-batch, 11.9 vs 16.8 ms per 1024-batch against
+    the chunked half-DFT XLA path) while ALSO tracking the fp32 golden
+    tighter (0.030 vs 0.096 max normalized error on real recordings — its
+    bf16x4 GEMMs beat XLA's Precision.HIGH in near-clamp spectral valleys).
+    The kernel supports exactly the reference geometry (torchaudio mode,
+    n_fft=1024, hop=512); anything else uses the XLA path.
+    """
+    if (params is not None and params.frontend == "torchaudio"
+            and params.n_fft == 1024 and params.hop_length == 512):
+        return "pallas"
     return "xla"
 
 
@@ -241,11 +248,15 @@ def _tail_reflect_vals(waveforms, lengths, pad: int, hop: int):
     return vals.reshape(b, 2, hop), row.astype(jnp.int32)
 
 
-def waveform_rows(waveforms: jax.Array, hop: int) -> jax.Array:
+def waveform_rows(waveforms: jax.Array, hop: int,
+                  multiple: int = 1) -> jax.Array:
     """(B, L) zero-padded waveforms -> (B, T, hop) row view for the fused
-    pallas kernel, T = L // hop + 1 (the frame count at hop == n_fft/2)."""
+    pallas kernel, T = L // hop + 1 (the frame count at hop == n_fft/2),
+    rounded up to ``multiple`` (sublane alignment; extra frames are junk
+    the kernel's valid mask removes)."""
     b, l_max = waveforms.shape
     t = l_max // hop + 1
+    t = -(-t // multiple) * multiple
     need = t * hop
     if need > l_max:
         waveforms = jnp.pad(waveforms, ((0, 0), (0, need - l_max)))
@@ -299,19 +310,21 @@ def _frontend_impl(waveforms, lengths, dft_cos, dft_sin, mel_fb,
     pad = n_fft // 2
     reflect = mode == "torchaudio"
     sparse_tail = reflect and n_fft == 2 * hop
-    if backend == "pallas" and n_fft == 2 * hop:
-        # Fully fused v4 kernel: reads the RAW waveform rows (no prepared
-        # array in HBM); left reflect + dynamic tail + DFT + mel + dB +
-        # masked normalization + mel-major layout in one pallas_call.
+    if backend == "pallas" and n_fft == 2 * hop and n_fft == 1024:
+        # Fully fused kernel: reads the RAW waveform rows (no prepared
+        # array in HBM); left reflect + dynamic tail + factorized DFT +
+        # mel + dB + masked normalization + mel-major layout in one
+        # pallas_call (see frontend_pallas.py for the algorithm).
         from speech_intent_recognizer_tpu.ops import frontend_pallas as fp
 
-        rows = waveform_rows(waveforms, hop)
+        rows = waveform_rows(waveforms, hop, multiple=8)
         left = waveforms[:, 1 : pad + 1][:, ::-1][:, None, :]  # (B, 1, hop)
         vals, row0 = _tail_reflect_vals(waveforms, lengths, pad, hop)
-        t = rows.shape[1]
+        t_true = waveforms.shape[1] // hop + 1
         return fp.fused_frontend_pallas(
             rows, lengths, left, vals, row0, p, normalize=normalize,
-            t_out=target_len if pad_to_target else t, out_dtype=out_dtype)
+            t_out=target_len if pad_to_target else t_true,
+            out_dtype=out_dtype)
     prepared = _prepare_batch(waveforms, lengths, pad, reflect,
                               patch_tail=not sparse_tail)
     b, l_prep = prepared.shape
@@ -408,7 +421,7 @@ def log_mel_frontend(
       padded).
     """
     if backend == "auto":
-        backend = default_backend_choice()
+        backend = default_backend_choice(params)
     if backend == "pallas" and params.frontend != "torchaudio":
         raise ValueError("pallas backend supports the torchaudio front-end")
     static = (params.n_fft, params.hop_length, params.n_mels,

@@ -110,175 +110,308 @@ def mel_db_pallas(frames: jax.Array, p: FrontendParams) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
-# v4: fully fused per-utterance kernel reading RAW waveform rows.
+# v5: fully fused per-utterance kernel — factorized (Cooley-Tukey) DFT.
 #
-# With hop = n_fft/2, frame t = [chunk_t | chunk_{t+1}] of non-overlapping
-# hop-sized chunks, so frame_t @ W == chunk_t @ W_hi + chunk_{t+1} @ W_lo.
-# Because the center pad equals the hop, the chunk view of the prepared
-# (reflect-padded) signal is exactly ``[reflect_row ; waveform_rows]`` — so
-# the kernel consumes the raw zero-padded waveform directly, viewed as
-# (T, hop) rows, with NO prepared array ever materialized in HBM.  One grid
-# step processes ONE utterance end-to-end:
+# One grid step processes ONE utterance end-to-end from RAW waveform rows
+# (no prepared array in HBM; the (T, hop) rows stream HBM->VMEM through the
+# auto-double-buffered pallas pipeline).  The left-reflect chunk row and the
+# dynamic right-reflect tail correction arrive as tiny precomputed inputs,
+# exactly as in the retired dense-DFT revision (see git history).
 #
-#   * the (T, hop) waveform rows stream HBM->VMEM through the pallas
-#     pipeline (automatically double-buffered across grid steps);
-#   * the left-reflect chunk row is assembled in VMEM (a lane flip), and the
-#     dynamic right-reflect tail — precomputed as a tiny (2, hop) correction
-#     by `frontend_jax._tail_reflect_vals` — is added at its dynamic chunk
-#     row via an iota mask;
-#   * the windowed DFT runs as hand-rolled bf16x3 GEMMs (the exact
-#     decomposition XLA uses for Precision.HIGH — Mosaic only exposes
-#     DEFAULT/HIGHEST, and HIGHEST's 6-pass fp32 emulation is what made the
-#     retired v2 kernel lose to the XLA path);
-#   * dB conversion, masked per-utterance normalization, the mel-major
-#     transpose and pad-to-target all happen in VMEM.
+# The 1024-point windowed rDFT is NOT one dense GEMM (the XLA path's
+# formulation, ~16 MFLOP effective per frame at Precision.HIGH): it is
+# factorized as
 #
-# HBM traffic is ONE read of the signal plus one write of the final
-# (n_mels, t_out) block — the bandwidth floor for this op.  The XLA path by
-# contrast materializes the prepared signal and the DFT/power intermediates.
+#   frame (1024,) = 8 contiguous 128-blocks, n = n1 + 128*n2
+#     inner : 8-point DFT over blocks n2 — radix-2, exact fp32 VPU adds
+#             (coefficients 0, ±1, ±√2/2), per output residue r = k mod 8
+#     twiddle: Z'[n1,r] = Z[n1,r]·e^{-2πi n1 r / 1024} — fp32 VPU
+#     outer : X[8t+r] = Σ_{n1} Z'[n1,r]·e^{-2πi n1 t/128} — ONE MXU GEMM
+#             (8T, 256) @ (256, 128) with rhs [[C,-S],[S,C]] producing
+#             [Xr | Xi] packed in lanes; K=256, N=128, lane-exact
+#     mel   : |X|² is folded into the mel projection by DOUBLING the
+#             filterbank rows (lane t and lane t+64 of out² both multiply
+#             FB[8t+r]), so Xr/Xi are never unpacked — 8 accumulating
+#             (T,128)@(128,128) GEMMs against per-residue permuted FBs
+#   plus the Nyquist bin X[512] = Σ (-1)^n x[n] as a VPU reduction.
 #
-# Numerical contract: same bf16x3 DFT as the XLA fast path
-# (`frontend_jax._mel_power_chunked` at Precision.HIGH), exact fp32 mel
-# projection and normalization; matches the NumPy golden / reference
-# torchaudio features (scripts/precompute_features.py:28-73) to ~1e-3 dB.
+# Only bins k < 512 ride the GEMM (t < 64): bins 513..n_fft/2 of a padded
+# output would be dead weight — conjugate symmetry means nothing above
+# Nyquist is needed, which is what makes N exactly 128 lanes.
+#
+# Precision: the GEMMs run bf16x4 (x and W split into exact bf16 hi+lo
+# pairs; all four cross products accumulated in fp32).  Unlike the retired
+# 3-pass version — whose dropped lo·lo term put ~30-40 dB of noise in
+# near-clamp spectral valleys of real recordings — bf16x4 reconstructs the
+# full product; remaining error is split rounding (~2^-17) and fp32
+# accumulation, measured <=1e-2 dB vs the fp32 golden.  The mel projection
+# runs 3-pass (all-positive operands: no cancellation).
+#
+# Arithmetic: ~3.3 MFLOP effective per frame vs ~16.7 for the dense XLA
+# path — a ~5x algorithmic reduction at equal MXU efficiency — with HBM
+# traffic of ONE signal read + one (n_mels, t_out) write.
+#
+# Numerical contract matches the NumPy golden / reference torchaudio
+# features (scripts/precompute_features.py:28-73).
 # ---------------------------------------------------------------------------
+
+_SQRT1_2 = 0.7071067811865476
 
 
 def _split_bf16(x: jax.Array):
-    """f32 -> (hi, lo) bf16 pair with hi + lo == x (to bf16x2 accuracy)."""
+    """f32 -> (hi, lo) bf16 pair with hi + lo ~= x (split rounding ~2^-17)."""
     hi = x.astype(jnp.bfloat16)
     lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return hi, lo
 
 
 def _fused_kernel(tvalid_ref, c0_ref, rows_ref, left_ref, vals_ref,
-                  whi_h_ref, whi_l_ref, wlo_h_ref, wlo_l_ref, fb_ref,
-                  out_ref, *, t, t_out, hop, n_mels, normalize, eps,
-                  out_dtype):
-    xr = rows_ref[0]  # (T, hop) f32 raw waveform rows (zero-padded)
-    # Left-reflect chunk row, precomputed in XLA (Mosaic has no lane
-    # reversal): prepared[j] = x[hop - j] for j in [0, hop).
-    chunks = jnp.concatenate([left_ref[0], xr], axis=0)  # (C, hop), C = t+1
-    # Dynamic right-reflect tail: add the (2, hop) correction at chunk rows
-    # c0 / c0+1 (row c0+1 may fall off the end — the mask drops it).
+                  win_ref, twc_ref, tws_ref, rh_ref, rl_ref,
+                  fh_ref, fl_ref, fbny_ref, out_ref, *,
+                  bu, t_k, t_out, hop, n_mels, normalize, eps, out_dtype):
+    lane = _LANE
     b_idx = pl.program_id(0)
-    c0 = c0_ref[b_idx]
-    v = vals_ref[0]  # (2, hop)
-    rowi = jax.lax.broadcasted_iota(jnp.int32, (t + 1, hop), 0)
+    xr = rows_ref[...]  # (bu, t_k, hop) f32 raw waveform rows (zero-padded)
+    # Left-reflect chunk rows, precomputed in XLA (Mosaic has no lane
+    # reversal): prepared[j] = x[hop - j] for j in [0, hop).
+    chunks = jnp.concatenate([left_ref[...], xr], axis=1)  # (bu, t_k+1, hop)
+    # Dynamic right-reflect tail: add the (2, hop) correction at chunk rows
+    # c0 / c0+1 per utterance (row c0+1 may fall off the end — masked away).
+    # Per-utterance scalars enter via scalar-select chains (Mosaic has no
+    # (bu,) -> (bu,1,1) vector reshape).
+    v = vals_ref[...]  # (bu, 2, hop)
+    iota_u = jax.lax.broadcasted_iota(jnp.int32, (bu, t_k + 1, hop), 0)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (bu, t_k + 1, hop), 1)
+    hit0 = hit1 = None
+    for u in range(bu):
+        c0u = c0_ref[bu * b_idx + u]
+        uu = iota_u == u
+        h0 = jnp.logical_and(uu, rowi == c0u)
+        h1 = jnp.logical_and(uu, rowi == c0u + 1)
+        hit0 = h0 if hit0 is None else jnp.logical_or(hit0, h0)
+        hit1 = h1 if hit1 is None else jnp.logical_or(hit1, h1)
     chunks = (chunks
-              + jnp.where(rowi == c0,
-                          jnp.broadcast_to(v[0:1], (t + 1, hop)), 0.0)
-              + jnp.where(rowi == c0 + 1,
-                          jnp.broadcast_to(v[1:2], (t + 1, hop)), 0.0))
-    xh, xl = _split_bf16(chunks)
+              + jnp.where(hit0, v[:, 0:1, :], 0.0)
+              + jnp.where(hit1, v[:, 1:2, :], 0.0))
 
-    def high_dot(wh_ref, wl_ref):
-        # bf16x3: x @ W ~= xh@Wh + xh@Wl + xl@Wh (== XLA Precision.HIGH)
-        wh = wh_ref[...]
-        acc = jnp.dot(xh, wh, preferred_element_type=jnp.float32)
-        acc = acc + jnp.dot(xh, wl_ref[...],
-                            preferred_element_type=jnp.float32)
-        return acc + jnp.dot(xl, wh, preferred_element_type=jnp.float32)
+    # Windowed contiguous 128-sample blocks of every frame: with
+    # hop = n_fft/2 = 4 blocks, frame t's block c lives in chunk row
+    # t + (c >= 4) at columns (c % 4)*128.
+    wx = []
+    for c in range(8):
+        blk = chunks[:, (c // 4):(c // 4) + t_k,
+                     (c % 4) * lane:(c % 4 + 1) * lane]
+        wx.append(blk * win_ref[c:c + 1])
 
-    a = high_dot(whi_h_ref, whi_l_ref)  # (C, 2F): [cos | sin] lanes
-    bb = high_dot(wlo_h_ref, wlo_l_ref)
-    cs = a[:t] + bb[1 : t + 1]  # shifted add joins the two half-frames
-    f_pad = fb_ref.shape[0]
-    c = cs[:, :f_pad]
-    s = cs[:, f_pad:]
-    power = c * c + s * s  # (t, F)
-    # Small GEMM; exact fp32 keeps the mel projection bit-clean.
-    mel = jnp.dot(power, fb_ref[...], preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.HIGHEST)  # (t, n_mels_pad)
+    # Inner 8-point DFT over blocks (radix-2; coefficients 0, ±1, ±√2/2).
+    # Z[n1, r] = Σ_c wx_c[n1] e^{-2πi c r/8};  Z[8-r] = conj(Z[r]).
+    e = [wx[c] + wx[c + 4] for c in range(4)]
+    o = [wx[c] - wx[c + 4] for c in range(4)]
+    ea, eb = e[0] + e[2], e[1] + e[3]
+    ec, ed = e[0] - e[2], e[1] - e[3]
+    oa = _SQRT1_2 * (o[1] - o[3])
+    ob = _SQRT1_2 * (o[1] + o[3])
+    zr = [ea + eb, o[0] + oa, ec, o[0] - oa,
+          ea - eb, o[0] - oa, ec, o[0] + oa]
+    zi = [None, -(ob + o[2]), -ed, o[2] - ob,
+          None, ob - o[2], ed, ob + o[2]]
+
+    # Twiddle by e^{-2πi n1 r / 1024}, stack residues along rows (r-major).
+    zpr, zpi = [], []
+    for r in range(8):
+        tc = twc_ref[r:r + 1]
+        ts = tws_ref[r:r + 1]
+        if r == 0:  # unit twiddle, purely real residue
+            zpr.append(zr[0])
+            zpi.append(jnp.zeros_like(zr[0]))
+        elif zi[r] is None:  # purely real residue (r = 4)
+            zpr.append(zr[r] * tc)
+            zpi.append(-zr[r] * ts)
+        else:
+            zpr.append(zr[r] * tc + zi[r] * ts)
+            zpi.append(zi[r] * tc - zr[r] * ts)
+    lhs = jnp.concatenate(
+        [jnp.concatenate(zpr, axis=1), jnp.concatenate(zpi, axis=1)],
+        axis=2)  # (bu, 8*t_k, 256) = [Z'r | Z'i]
+    lhs = lhs.reshape(bu * 8 * t_k, 2 * lane)
+
+    # Outer DFT-128: one GEMM against [[C,-S],[S,C]] -> [Xr | Xi] lanes.
+    lh, ll = _split_bf16(lhs)
+    rh = rh_ref[...]
+    rl = rl_ref[...]
+    out = (jnp.dot(lh, rh, preferred_element_type=jnp.float32)
+           + jnp.dot(lh, rl, preferred_element_type=jnp.float32)
+           + jnp.dot(ll, rh, preferred_element_type=jnp.float32)
+           + jnp.dot(ll, rl, preferred_element_type=jnp.float32))
+
+    # Mel projection with |X|² folded in: lane t (Xr²) and lane t+64 (Xi²)
+    # of out² both hit the doubled FB row for bin 8t+r.  The 8 residue
+    # blocks are laid side-by-side in lanes so the whole projection is ONE
+    # K=1024 GEMM (x3 passes) against the row-stacked permuted FB.
+    sq = (out * out).reshape(bu, 8 * t_k, lane)
+    psl = jnp.concatenate(
+        [sq[:, r * t_k:(r + 1) * t_k, :] for r in range(8)],
+        axis=2).reshape(bu * t_k, 8 * lane)
+    ph, pl_ = _split_bf16(psl)
+    fh = fh_ref[...]
+    fl = fl_ref[...]
+    mel = (jnp.dot(ph, fh, preferred_element_type=jnp.float32)
+           + jnp.dot(ph, fl, preferred_element_type=jnp.float32)
+           + jnp.dot(pl_, fh, preferred_element_type=jnp.float32))
+    n_mels_pad = mel.shape[1]
+    mel = mel.reshape(bu, t_k, n_mels_pad)
+
+    # Nyquist bin: X[512] = Σ_n (-1)^n x[n] ((-1)^n = (-1)^{n1}, blocks even)
+    lanes1 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, lane), 2)
+    alt = jnp.where(lanes1 % 2 == 0, 1.0, -1.0).astype(jnp.float32)
+    ny = None
+    for c in range(8):
+        s = jnp.sum(wx[c] * alt, axis=2, keepdims=True)  # (bu, t_k, 1)
+        ny = s if ny is None else ny + s
+    mel = mel + (ny * ny) * fbny_ref[:, 0:1]
+
     db = (10.0 / np.log(10.0)) * jnp.log(jnp.maximum(mel, 1e-10))
 
-    n_mels_pad = db.shape[1]
-    tv = tvalid_ref[b_idx]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (t, n_mels_pad), 0)
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (t, n_mels_pad), 1)
-    mask = jnp.logical_and(rows < tv, lanes < n_mels).astype(jnp.float32)
+    iota_u2 = jax.lax.broadcasted_iota(jnp.int32, (bu, t_k, n_mels_pad), 0)
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (bu, t_k, n_mels_pad), 1)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (bu, t_k, n_mels_pad), 2)
+    valid = None
+    for u in range(bu):
+        vu = jnp.logical_and(iota_u2 == u,
+                             rows_i < tvalid_ref[bu * b_idx + u])
+        valid = vu if valid is None else jnp.logical_or(valid, vu)
+    mask = jnp.logical_and(valid, lanes < n_mels).astype(jnp.float32)
     if normalize:
         # Per-utterance mean / unbiased std over valid frames x real mels
-        # (reference contract: precompute_features.py:73, ddof=1).
-        cnt = tv.astype(jnp.float32) * n_mels
-        mean = jnp.sum(db * mask) / cnt
-        var = jnp.sum(jnp.square(db - mean) * mask) / jnp.maximum(
-            cnt - 1.0, 1.0)
-        db = (db - mean) / (jnp.sqrt(var) + eps)
+        # (reference contract: precompute_features.py:73, ddof=1).  Scalar
+        # reductions per utterance — Mosaic rejects (bu,1,1) vector layouts.
+        db_n = None
+        for u in range(bu):
+            dbu = db[u]
+            mk = mask[u]
+            cnt = jnp.sum(mk)  # == tv * n_mels
+            mean = jnp.sum(dbu * mk) / cnt
+            var = jnp.sum(jnp.square(dbu - mean) * mk) / jnp.maximum(
+                cnt - 1.0, 1.0)
+            scale = 1.0 / (jnp.sqrt(var) + eps)
+            term = jnp.where(iota_u2 == u, (db - mean) * scale, 0.0)
+            db_n = term if db_n is None else db_n + term
+        db = db_n
     db = db * mask  # zero padded frames and pad lanes
-    dbt = db.T[:n_mels]  # (n_mels, t) mel-major, as the model consumes it
-    if t_out > t:
+    dbt = jnp.swapaxes(db, 1, 2)[:, :n_mels]  # (bu, n_mels, t_k) mel-major
+    if t_out > t_k:
         dbt = jnp.concatenate(
-            [dbt, jnp.zeros((n_mels, t_out - t), jnp.float32)], axis=1)
+            [dbt, jnp.zeros((bu, n_mels, t_out - t_k), jnp.float32)], axis=2)
     else:
-        dbt = dbt[:, :t_out]
-    out_ref[0] = dbt.astype(out_dtype)
+        dbt = dbt[:, :, :t_out]
+    out_ref[...] = dbt.astype(out_dtype)
+
+
+_BU = 4  # utterances per grid step (amortizes per-step VPU/pipeline cost)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "t_out", "hop", "n_mels", "normalize", "eps", "out_dtype", "interpret"))
-def _fused_call(rows, t_valid, c0, left, vals, whi_h, whi_l, wlo_h, wlo_l,
-                fb, t_out, hop, n_mels, normalize, eps, out_dtype, interpret):
-    b, t, _ = rows.shape  # T waveform rows -> T frames (C = T + 1 chunks)
-    f2 = whi_h.shape[1]  # 2 * padded freq bins
-    n_mels_pad = fb.shape[1]
+def _fused_call(rows, t_valid, c0, left, vals, win, twc, tws, rh, rl,
+                fh, fl, fbny, t_out, hop, n_mels, normalize, eps,
+                out_dtype, interpret):
+    b, t_k, _ = rows.shape  # t_k waveform rows -> t_k frames (incl. pad)
+    bu = _BU
+    b_pad = -(-b // bu) * bu
+    if b_pad != b:
+        pad = ((0, b_pad - b),)
+        rows = jnp.pad(rows, pad + ((0, 0), (0, 0)))
+        left = jnp.pad(left, pad + ((0, 0), (0, 0)))
+        vals = jnp.pad(vals, pad + ((0, 0), (0, 0)))
+        t_valid = jnp.pad(t_valid, pad, constant_values=1)
+        c0 = jnp.pad(c0, pad, constant_values=1)
+    n_mels_pad = fh.shape[1]
     kernel = functools.partial(
-        _fused_kernel, t=t, t_out=t_out, hop=hop, n_mels=n_mels,
+        _fused_kernel, bu=bu, t_k=t_k, t_out=t_out, hop=hop, n_mels=n_mels,
         normalize=normalize, eps=eps, out_dtype=out_dtype)
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i, *_: (0,) * len(shape), memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b,),
+        grid=(b_pad // bu,),
         in_specs=[
-            pl.BlockSpec((1, t, hop), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((bu, t_k, hop), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hop), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((bu, 1, hop), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, hop), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((bu, 2, hop), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((hop, f2), lambda i, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((hop, f2), lambda i, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((hop, f2), lambda i, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((hop, f2), lambda i, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((f2 // 2, n_mels_pad),
-                         lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            const((8, 1, _LANE)),         # window blocks
+            const((8, 1, _LANE)),         # twiddle cos
+            const((8, 1, _LANE)),         # twiddle sin
+            const((2 * _LANE, _LANE)),    # [[C,-S],[S,C]] hi
+            const((2 * _LANE, _LANE)),    # [[C,-S],[S,C]] lo
+            const((8 * _LANE, n_mels_pad)),  # doubled permuted FB hi
+            const((8 * _LANE, n_mels_pad)),  # doubled permuted FB lo
+            const((1, 8, n_mels_pad)),    # Nyquist FB row
         ],
-        out_specs=pl.BlockSpec((1, n_mels, t_out), lambda i, *_: (i, 0, 0),
+        out_specs=pl.BlockSpec((bu, n_mels, t_out), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, n_mels, t_out), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((b_pad, n_mels, t_out), out_dtype),
         cost_estimate=pl.CostEstimate(
-            # 6 bf16 passes over 2 (C, hop) x (hop, 2F) GEMMs + the mel GEMM
-            flops=b * (6 * 2 * (t + 1) * hop * f2
-                       + 2 * t * (f2 // 2) * n_mels_pad),
-            bytes_accessed=(b * t * hop * 4 + 4 * hop * f2 * 2
-                            + (f2 // 2) * n_mels_pad * 4
-                            + b * n_mels * t_out * 4),
-            transcendentals=b * t * n_mels_pad,
+            # 4-pass outer GEMM + 3-pass mel GEMMs per utterance
+            flops=b_pad * t_k * (4 * 8 * 2 * _LANE * _LANE * 2
+                                 + 3 * 8 * _LANE * n_mels_pad * 2),
+            bytes_accessed=(b_pad * t_k * hop * 4
+                            + (2 * 2 * _LANE * _LANE
+                               + 2 * 8 * _LANE * n_mels_pad) * 2
+                            + b_pad * n_mels * t_out * 4),
+            transcendentals=b_pad * t_k * n_mels_pad,
         ),
         interpret=interpret,
-    )(t_valid, c0, rows, left, vals, whi_h, whi_l, wlo_h, wlo_l, fb)
+    )(t_valid, c0, rows, left, vals, win, twc, tws, rh, rl, fh, fl, fbny)
+    return out[:b]
 
 
 def _fused_operands(p: FrontendParams):
-    """Precompute the kernel's constant operands: hi/lo chunk halves of the
-    windowed [cos | sin] DFT matrix, each split into a bf16 (hi, lo) pair,
-    plus the lane-padded fp32 mel filterbank."""
-    wcos, wsin, fb = _padded_operands(p)
-    n_mels_pad = _round_up(p.n_mels, _LANE)
-    if n_mels_pad != p.n_mels:
-        fb = jnp.pad(fb, ((0, 0), (0, n_mels_pad - p.n_mels)))
-    hop = p.hop_length
-    w = jnp.concatenate([wcos, wsin], axis=1)  # (n_fft, 2F)
-    whi_h, whi_l = _split_bf16(w[:hop])
-    wlo_h, wlo_l = _split_bf16(w[hop:])
-    return whi_h, whi_l, wlo_h, wlo_l, fb
+    """Constant kernel operands for the factorized rDFT + mel chain.
+
+    The pure-DFT factor matrices are exact numpy constants; the Hann window
+    is recovered from the windowed cos matrix's DC column (cos(0)=1).
+    """
+    n_fft, lane = p.n_fft, _LANE
+    blocks = n_fft // lane  # 8
+    n1 = np.arange(lane)
+    tt = np.arange(lane // 2)  # t < 64: bins 8t+r < 512
+    rr = np.arange(blocks)
+    cmat = np.cos(2 * np.pi * np.outer(n1, tt) / lane)
+    smat = np.sin(2 * np.pi * np.outer(n1, tt) / lane)
+    rmat = np.block([[cmat, -smat], [smat, cmat]]).astype(np.float64)
+    twc = np.cos(2 * np.pi * np.outer(rr, n1) / n_fft).astype(np.float32)
+    tws = np.sin(2 * np.pi * np.outer(rr, n1) / n_fft).astype(np.float32)
+
+    n_mels_pad = _round_up(p.n_mels, lane)
+    fb = jnp.pad(p.mel_fb.astype(jnp.float32),
+                 ((0, 0), (0, n_mels_pad - p.n_mels)))
+    # Doubled permuted FB: residue-r block row j (=t) and j+64 both map to
+    # bin 8j+r so that out² = [Xr²|Xi²] contracts straight to mel power.
+    perm = blocks * np.arange(lane // 2)[None, :] + np.arange(blocks)[:, None]
+    rows = fb[perm.reshape(-1)].reshape(blocks, lane // 2, n_mels_pad)
+    fbp = jnp.concatenate([rows, rows], axis=1)  # (blocks, lane, n_mels_pad)
+    fbny = jnp.zeros((blocks, n_mels_pad), jnp.float32)
+    fbny = fbny.at[0].set(fb[n_fft // 2])
+
+    def split_np(x):
+        hi = np.asarray(x, np.float64).astype(jnp.bfloat16)
+        lo = (x - np.asarray(hi, np.float64)).astype(jnp.bfloat16)
+        return jnp.asarray(hi), jnp.asarray(lo)
+
+    rh, rl = split_np(rmat)
+    fh, fl = _split_bf16(fbp.reshape(blocks * lane, n_mels_pad))
+    window = p.dft_cos[:, 0]  # hann window (cos(0) column)
+    win = window.reshape(blocks, 1, lane).astype(jnp.float32)
+    return (win, jnp.asarray(twc.reshape(blocks, 1, lane)),
+            jnp.asarray(tws.reshape(blocks, 1, lane)), rh, rl, fh, fl,
+            jnp.asarray(fbny)[None])
 
 
 def fused_frontend_pallas(wf_rows: jax.Array, lengths: jax.Array,
@@ -291,7 +424,8 @@ def fused_frontend_pallas(wf_rows: jax.Array, lengths: jax.Array,
 
     Args:
       wf_rows: (B, T, hop) f32 — the zero-padded waveform buffer viewed as
-        hop-sized rows (``frontend_jax.waveform_rows``); T = frame count.
+        hop-sized rows (``frontend_jax.waveform_rows``); T = frame count
+        padded to a sublane multiple (junk frames are masked out).
       lengths: (B,) int32 true sample counts.
       left_row: (B, 1, hop) left-reflect chunk row (flip of samples 1..hop;
         computed in XLA — Mosaic has no lane reversal).
@@ -302,13 +436,13 @@ def fused_frontend_pallas(wf_rows: jax.Array, lengths: jax.Array,
       t_out: output time axis (pad/trim); defaults to ``p.target_length``.
       out_dtype: output dtype (f32, or bf16 for direct model handoff).
     """
-    if p.n_fft != 2 * p.hop_length:
-        raise ValueError("fused kernel requires hop == n_fft / 2")
+    if p.n_fft != 2 * p.hop_length or p.n_fft != 8 * _LANE:
+        raise ValueError("fused kernel requires n_fft=1024, hop=512")
     t_out = p.target_length if t_out is None else t_out
-    whi_h, whi_l, wlo_h, wlo_l, fb = _fused_operands(p)
+    win, twc, tws, rh, rl, fh, fl, fbny = _fused_operands(p)
     interpret = jax.default_backend() != "tpu"
     t_valid = (1 + lengths // p.hop_length).astype(jnp.int32)
     return _fused_call(wf_rows, t_valid, tail_row.astype(jnp.int32),
-                       left_row, tail_vals, whi_h, whi_l, wlo_h, wlo_l, fb,
-                       t_out, p.hop_length, p.n_mels, normalize,
+                       left_row, tail_vals, win, twc, tws, rh, rl, fh, fl,
+                       fbny, t_out, p.hop_length, p.n_mels, normalize,
                        p.norm_eps, jnp.dtype(out_dtype), interpret)
