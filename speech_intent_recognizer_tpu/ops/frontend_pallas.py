@@ -124,16 +124,18 @@ def mel_db_pallas(frames: jax.Array, p: FrontendParams) -> jax.Array:
 #
 #   frame (1024,) = 8 contiguous 128-blocks, n = n1 + 128*n2
 #     inner : 8-point DFT over blocks n2 — radix-2, exact fp32 VPU adds
-#             (coefficients 0, ±1, ±√2/2), per output residue r = k mod 8
-#     twiddle: Z'[n1,r] = Z[n1,r]·e^{-2πi n1 r / 1024} — fp32 VPU
-#     outer : X[8t+r] = Σ_{n1} Z'[n1,r]·e^{-2πi n1 t/128} — ONE MXU GEMM
-#             (8T, 256) @ (256, 128) with rhs [[C,-S],[S,C]] producing
-#             [Xr | Xi] packed in lanes; K=256, N=128, lane-exact
-#     mel   : |X|² is folded into the mel projection by DOUBLING the
-#             filterbank rows (lane t and lane t+64 of out² both multiply
-#             FB[8t+r]), so Xr/Xi are never unpacked — 8 accumulating
-#             (T,128)@(128,128) GEMMs against per-residue permuted FBs
-#   plus the Nyquist bin X[512] = Σ (-1)^n x[n] as a VPU reduction.
+#             (coefficients 0, ±1, ±√2/2); conjugate symmetry
+#             Z[8-r] = conj(Z[r]) means only residues 0..4 materialize
+#     outer : X[8t+r] = Σ_{n1} Z[n1,r]·e^{-2πi n1 r/1024}·e^{-2πi n1 t/128}
+#             — per-residue MXU dots against constant matrices with the
+#             twiddle PRE-FOLDED; residues 5,6,7 reuse the r=3,2,1
+#             operands against sign-adjusted constants, and the Nyquist
+#             bin rides as the 128th column of the r=0 block ([Xr | Xi]
+#             packed in lanes; N=128, lane-exact)
+#     mel   : |X|² is folded into the mel projection by doubling the
+#             permuted filterbank rows (real and imag lanes of a bin hit
+#             the same FB row), so Xr/Xi are never unpacked — one K=1024
+#             GEMM
 #
 # Only bins k < 512 ride the GEMM (t < 64): bins 513..n_fft/2 of a padded
 # output would be dead weight — conjugate symmetry means nothing above
@@ -166,8 +168,7 @@ def _split_bf16(x: jax.Array):
 
 
 def _fused_kernel(tvalid_ref, c0_ref, rows_ref, left_ref, vals_ref,
-                  win_ref, twc_ref, tws_ref, rh_ref, rl_ref,
-                  fh_ref, fl_ref, fbny_ref, out_ref, *,
+                  win_ref, rh_ref, rl_ref, fh_ref, fl_ref, out_ref, *,
                   bu, t_k, t_out, hop, n_mels, normalize, eps, out_dtype):
     lane = _LANE
     b_idx = pl.program_id(0)
@@ -204,71 +205,68 @@ def _fused_kernel(tvalid_ref, c0_ref, rows_ref, left_ref, vals_ref,
         wx.append(blk * win_ref[c:c + 1])
 
     # Inner 8-point DFT over blocks (radix-2; coefficients 0, ±1, ±√2/2).
-    # Z[n1, r] = Σ_c wx_c[n1] e^{-2πi c r/8};  Z[8-r] = conj(Z[r]).
+    # Z[n1, r] = Σ_c wx_c[n1] e^{-2πi c r/8}.  Conjugate symmetry
+    # (Z[8-r] = conj(Z[r])) means only residues 0..4 are materialized; the
+    # r = 5, 6, 7 outputs reuse the r = 3, 2, 1 operands against
+    # sign-adjusted constant matrices.  The e^{-2πi n1 r/1024} twiddles and
+    # the Nyquist bin are folded into those constants too — zero VPU cost.
     e = [wx[c] + wx[c + 4] for c in range(4)]
     o = [wx[c] - wx[c + 4] for c in range(4)]
     ea, eb = e[0] + e[2], e[1] + e[3]
     ec, ed = e[0] - e[2], e[1] - e[3]
     oa = _SQRT1_2 * (o[1] - o[3])
     ob = _SQRT1_2 * (o[1] + o[3])
-    zr = [ea + eb, o[0] + oa, ec, o[0] - oa,
-          ea - eb, o[0] - oa, ec, o[0] + oa]
-    zi = [None, -(ob + o[2]), -ed, o[2] - ob,
-          None, ob - o[2], ed, ob + o[2]]
+    m = bu * t_k
 
-    # Twiddle by e^{-2πi n1 r / 1024}, stack residues along rows (r-major).
-    zpr, zpi = [], []
-    for r in range(8):
-        tc = twc_ref[r:r + 1]
-        ts = tws_ref[r:r + 1]
-        if r == 0:  # unit twiddle, purely real residue
-            zpr.append(zr[0])
-            zpi.append(jnp.zeros_like(zr[0]))
-        elif zi[r] is None:  # purely real residue (r = 4)
-            zpr.append(zr[r] * tc)
-            zpi.append(-zr[r] * ts)
-        else:
-            zpr.append(zr[r] * tc + zi[r] * ts)
-            zpi.append(zi[r] * tc - zr[r] * ts)
-    lhs = jnp.concatenate(
-        [jnp.concatenate(zpr, axis=1), jnp.concatenate(zpi, axis=1)],
-        axis=2)  # (bu, 8*t_k, 256) = [Z'r | Z'i]
-    lhs = lhs.reshape(bu * 8 * t_k, 2 * lane)
+    def lhs_pack(*parts):
+        """Lane-concat f32 parts, flatten rows, split to [hi | lo] bf16."""
+        x = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=2)
+        x = x.reshape(m, x.shape[2])
+        h, l = _split_bf16(x)
+        return jnp.concatenate([h, l], axis=1)  # (m, 2K)
 
-    # Outer DFT-128: one GEMM against [[C,-S],[S,C]] -> [Xr | Xi] lanes.
-    lh, ll = _split_bf16(lhs)
+    # K=128 operands (purely real residues 0 and 4), K=256 for r=1..3.
+    lhs_by_r = {
+        0: lhs_pack(ea + eb),
+        4: lhs_pack(ea - eb),
+        1: lhs_pack(o[0] + oa, -(ob + o[2])),
+        2: lhs_pack(ec, -ed),
+        3: lhs_pack(o[0] - oa, o[2] - ob),
+    }
+
+    # Outer DFT-128 with twiddles pre-multiplied: per residue, ONE dot of
+    # the [hi | lo] lhs against the row-duplicated rhs-hi plus one against
+    # rhs-lo realizes all four bf16x4 cross products in two MXU calls.
     rh = rh_ref[...]
     rl = rl_ref[...]
-    out = (jnp.dot(lh, rh, preferred_element_type=jnp.float32)
-           + jnp.dot(lh, rl, preferred_element_type=jnp.float32)
-           + jnp.dot(ll, rh, preferred_element_type=jnp.float32)
-           + jnp.dot(ll, rl, preferred_element_type=jnp.float32))
 
-    # Mel projection with |X|² folded in: lane t (Xr²) and lane t+64 (Xi²)
-    # of out² both hit the doubled FB row for bin 8t+r.  The 8 residue
-    # blocks are laid side-by-side in lanes so the whole projection is ONE
-    # K=1024 GEMM (x3 passes) against the row-stacked permuted FB.
-    sq = (out * out).reshape(bu, 8 * t_k, lane)
-    psl = jnp.concatenate(
-        [sq[:, r * t_k:(r + 1) * t_k, :] for r in range(8)],
-        axis=2).reshape(bu * t_k, 8 * lane)
+    def outer(r, row0, k2):
+        lhs = lhs_by_r[r if r < 5 else 8 - r]
+        a = rh[row0:row0 + 2 * k2]  # [[R];[R]] hi, rows duplicated
+        b = rl[row0:row0 + 2 * k2]
+        return (jnp.dot(lhs, a, preferred_element_type=jnp.float32)
+                + jnp.dot(lhs, b, preferred_element_type=jnp.float32))
+
+    sq = []
+    row0 = 0
+    for r, k2 in ((0, lane), (4, lane), (1, 2 * lane), (2, 2 * lane),
+                  (3, 2 * lane), (5, 2 * lane), (6, 2 * lane),
+                  (7, 2 * lane)):
+        x = outer(r, row0, k2)  # (m, 128) = [Xr | Xi] (r0: +Nyquist) lanes
+        sq.append(x * x)
+        row0 += 2 * k2
+    # Mel projection with |X|² folded in: each lane of sq hits the permuted
+    # (bin-doubled) FB row for its bin, so Xr/Xi are never unpacked — the
+    # whole projection is ONE K=1024 GEMM (x3 bf16 passes, 2 dots).
+    psl = jnp.concatenate(sq, axis=1)  # (m, 1024), residue-major lanes
     ph, pl_ = _split_bf16(psl)
-    fh = fh_ref[...]
+    fh = fh_ref[...]  # (2048, n_mels_pad) = [[F];[F]] hi
     fl = fl_ref[...]
-    mel = (jnp.dot(ph, fh, preferred_element_type=jnp.float32)
-           + jnp.dot(ph, fl, preferred_element_type=jnp.float32)
-           + jnp.dot(pl_, fh, preferred_element_type=jnp.float32))
+    mel = (jnp.dot(jnp.concatenate([ph, pl_], axis=1), fh,
+                   preferred_element_type=jnp.float32)
+           + jnp.dot(ph, fl[:8 * lane], preferred_element_type=jnp.float32))
     n_mels_pad = mel.shape[1]
     mel = mel.reshape(bu, t_k, n_mels_pad)
-
-    # Nyquist bin: X[512] = Σ_n (-1)^n x[n] ((-1)^n = (-1)^{n1}, blocks even)
-    lanes1 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, lane), 2)
-    alt = jnp.where(lanes1 % 2 == 0, 1.0, -1.0).astype(jnp.float32)
-    ny = None
-    for c in range(8):
-        s = jnp.sum(wx[c] * alt, axis=2, keepdims=True)  # (bu, t_k, 1)
-        ny = s if ny is None else ny + s
-    mel = mel + (ny * ny) * fbny_ref[:, 0:1]
 
     db = (10.0 / np.log(10.0)) * jnp.log(jnp.maximum(mel, 1e-10))
 
@@ -312,8 +310,8 @@ _BU = 4  # utterances per grid step (amortizes per-step VPU/pipeline cost)
 
 @functools.partial(jax.jit, static_argnames=(
     "t_out", "hop", "n_mels", "normalize", "eps", "out_dtype", "interpret"))
-def _fused_call(rows, t_valid, c0, left, vals, win, twc, tws, rh, rl,
-                fh, fl, fbny, t_out, hop, n_mels, normalize, eps,
+def _fused_call(rows, t_valid, c0, left, vals, win, rh, rl,
+                fh, fl, t_out, hop, n_mels, normalize, eps,
                 out_dtype, interpret):
     b, t_k, _ = rows.shape  # t_k waveform rows -> t_k frames (incl. pad)
     bu = _BU
@@ -341,14 +339,11 @@ def _fused_call(rows, t_valid, c0, left, vals, win, twc, tws, rh, rl,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bu, 2, hop), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            const((8, 1, _LANE)),         # window blocks
-            const((8, 1, _LANE)),         # twiddle cos
-            const((8, 1, _LANE)),         # twiddle sin
-            const((2 * _LANE, _LANE)),    # [[C,-S],[S,C]] hi
-            const((2 * _LANE, _LANE)),    # [[C,-S],[S,C]] lo
-            const((8 * _LANE, n_mels_pad)),  # doubled permuted FB hi
-            const((8 * _LANE, n_mels_pad)),  # doubled permuted FB lo
-            const((1, 8, n_mels_pad)),    # Nyquist FB row
+            const((8, 1, _LANE)),          # window blocks
+            const((28 * _LANE, _LANE)),    # twiddled outer DFT rhs, hi
+            const((28 * _LANE, _LANE)),    # twiddled outer DFT rhs, lo
+            const((16 * _LANE, n_mels_pad)),  # permuted bin-doubled FB hi
+            const((16 * _LANE, n_mels_pad)),  # permuted bin-doubled FB lo
         ],
         out_specs=pl.BlockSpec((bu, n_mels, t_out), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -358,17 +353,17 @@ def _fused_call(rows, t_valid, c0, left, vals, win, twc, tws, rh, rl,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b_pad, n_mels, t_out), out_dtype),
         cost_estimate=pl.CostEstimate(
-            # 4-pass outer GEMM + 3-pass mel GEMMs per utterance
-            flops=b_pad * t_k * (4 * 8 * 2 * _LANE * _LANE * 2
+            # bf16x4 outer dots (2 K=256, 6 K=512) + 3-pass K=1024 mel
+            flops=b_pad * t_k * ((2 * 2 * _LANE + 6 * 4 * _LANE) * _LANE * 2
                                  + 3 * 8 * _LANE * n_mels_pad * 2),
             bytes_accessed=(b_pad * t_k * hop * 4
-                            + (2 * 2 * _LANE * _LANE
-                               + 2 * 8 * _LANE * n_mels_pad) * 2
+                            + (28 * _LANE * _LANE
+                               + 16 * _LANE * n_mels_pad) * 2 * 2
                             + b_pad * n_mels * t_out * 4),
             transcendentals=b_pad * t_k * n_mels_pad,
         ),
         interpret=interpret,
-    )(t_valid, c0, rows, left, vals, win, twc, tws, rh, rl, fh, fl, fbny)
+    )(t_valid, c0, rows, left, vals, win, rh, rl, fh, fl)
     return out[:b]
 
 
@@ -382,23 +377,48 @@ def _fused_operands(p: FrontendParams):
     blocks = n_fft // lane  # 8
     n1 = np.arange(lane)
     tt = np.arange(lane // 2)  # t < 64: bins 8t+r < 512
-    rr = np.arange(blocks)
     cmat = np.cos(2 * np.pi * np.outer(n1, tt) / lane)
     smat = np.sin(2 * np.pi * np.outer(n1, tt) / lane)
-    rmat = np.block([[cmat, -smat], [smat, cmat]]).astype(np.float64)
-    twc = np.cos(2 * np.pi * np.outer(rr, n1) / n_fft).astype(np.float32)
-    tws = np.sin(2 * np.pi * np.outer(rr, n1) / n_fft).astype(np.float32)
+
+    def cp_sp(r):
+        """Outer DFT columns with the e^{-2πi n1 r/n_fft} twiddle folded."""
+        tc = np.cos(2 * np.pi * r * n1 / n_fft)[:, None]
+        ts = np.sin(2 * np.pi * r * n1 / n_fft)[:, None]
+        return tc * cmat - ts * smat, ts * cmat + tc * smat
+
+    # Residue order (0, 4, 1, 2, 3, 5, 6, 7) — matches the kernel's dot and
+    # lane-concat order.  r=0/4 have purely real inner outputs (K=128);
+    # r=5,6,7 reuse the conjugate operands of r=3,2,1 with adjusted signs.
+    r0 = np.zeros((lane, lane))
+    r0[:, : lane // 2] = cmat                      # Xr of bins 8t
+    r0[:, lane // 2:lane - 1] = -smat[:, 1:]       # Xi of bins 8(t+1)
+    r0[:, lane - 1] = (-1.0) ** n1                 # Nyquist bin n_fft/2
+    cp4, sp4 = cp_sp(4)
+    blocks_r = [r0, np.concatenate([cp4, -sp4], axis=1)]
+    for r in (1, 2, 3):
+        cp, sp = cp_sp(r)
+        blocks_r.append(np.block([[cp, -sp], [sp, cp]]))
+    for r in (5, 6, 7):  # lhs is [Zr_{8-r} | Zi_{8-r}] (conjugate reuse)
+        cp, sp = cp_sp(r)
+        blocks_r.append(np.block([[cp, -sp], [-sp, -cp]]))
+    # Row-duplicate each block: dot([hi|lo], [[R];[R]]) = hi@R + lo@R.
+    rmat = np.concatenate(
+        [np.concatenate([b, b], axis=0) for b in blocks_r], axis=0)
 
     n_mels_pad = _round_up(p.n_mels, lane)
     fb = jnp.pad(p.mel_fb.astype(jnp.float32),
                  ((0, 0), (0, n_mels_pad - p.n_mels)))
-    # Doubled permuted FB: residue-r block row j (=t) and j+64 both map to
-    # bin 8j+r so that out² = [Xr²|Xi²] contracts straight to mel power.
-    perm = blocks * np.arange(lane // 2)[None, :] + np.arange(blocks)[:, None]
-    rows = fb[perm.reshape(-1)].reshape(blocks, lane // 2, n_mels_pad)
-    fbp = jnp.concatenate([rows, rows], axis=1)  # (blocks, lane, n_mels_pad)
-    fbny = jnp.zeros((blocks, n_mels_pad), jnp.float32)
-    fbny = fbny.at[0].set(fb[n_fft // 2])
+    # Permuted bin-doubled FB, blocks in residue order (0,4,1,2,3,5,6,7):
+    # each sq lane multiplies the FB row of its bin (real and imag lanes of
+    # the same bin share a row; r0 carries the Nyquist row in lane 127).
+    idx = np.zeros((blocks, lane), np.int64)
+    idx[0, : lane // 2] = blocks * np.arange(lane // 2)
+    idx[0, lane // 2:lane - 1] = blocks * (np.arange(lane // 2 - 1) + 1)
+    idx[0, lane - 1] = n_fft // 2
+    for j, r in enumerate((4, 1, 2, 3, 5, 6, 7)):
+        a = blocks * np.arange(lane // 2) + r
+        idx[1 + j] = np.concatenate([a, a])
+    fbp = fb[idx.reshape(-1)]  # (blocks*lane, n_mels_pad)
 
     def split_np(x):
         hi = np.asarray(x, np.float64).astype(jnp.bfloat16)
@@ -406,12 +426,12 @@ def _fused_operands(p: FrontendParams):
         return jnp.asarray(hi), jnp.asarray(lo)
 
     rh, rl = split_np(rmat)
-    fh, fl = _split_bf16(fbp.reshape(blocks * lane, n_mels_pad))
+    fh1, fl1 = _split_bf16(fbp)
+    fh = jnp.concatenate([fh1, fh1], axis=0)  # [[F];[F]] for the 2-dot mel
+    fl = jnp.concatenate([fl1, fl1], axis=0)
     window = p.dft_cos[:, 0]  # hann window (cos(0) column)
     win = window.reshape(blocks, 1, lane).astype(jnp.float32)
-    return (win, jnp.asarray(twc.reshape(blocks, 1, lane)),
-            jnp.asarray(tws.reshape(blocks, 1, lane)), rh, rl, fh, fl,
-            jnp.asarray(fbny)[None])
+    return win, rh, rl, fh, fl
 
 
 def fused_frontend_pallas(wf_rows: jax.Array, lengths: jax.Array,
@@ -439,10 +459,10 @@ def fused_frontend_pallas(wf_rows: jax.Array, lengths: jax.Array,
     if p.n_fft != 2 * p.hop_length or p.n_fft != 8 * _LANE:
         raise ValueError("fused kernel requires n_fft=1024, hop=512")
     t_out = p.target_length if t_out is None else t_out
-    win, twc, tws, rh, rl, fh, fl, fbny = _fused_operands(p)
+    win, rh, rl, fh, fl = _fused_operands(p)
     interpret = jax.default_backend() != "tpu"
     t_valid = (1 + lengths // p.hop_length).astype(jnp.int32)
     return _fused_call(wf_rows, t_valid, tail_row.astype(jnp.int32),
-                       left_row, tail_vals, win, twc, tws, rh, rl, fh, fl,
-                       fbny, t_out, p.hop_length, p.n_mels, normalize,
+                       left_row, tail_vals, win, rh, rl, fh, fl,
+                       t_out, p.hop_length, p.n_mels, normalize,
                        p.norm_eps, jnp.dtype(out_dtype), interpret)
