@@ -39,8 +39,12 @@ def main() -> int:
     sr, chunk = 16000, 1024
     n_sessions = 16
     rng = np.random.default_rng(0)
+    # async_results: end-of-utterance device calls are dispatched without
+    # blocking on their values, so one session's classify round trip
+    # overlaps every other session's feature work — the serving mode.
     sessions = [StreamingRecognizer(predictor, chunk_size=chunk,
-                                    threshold=0.01, silence_limit=0.4)
+                                    threshold=0.01, silence_limit=0.4,
+                                    async_results=True)
                 for _ in range(n_sessions)]
 
     def utterance_stream(seed):
@@ -63,16 +67,23 @@ def main() -> int:
     sessions[0].flush()
 
     total_audio = 0.0
-    results = 0
+    pending = []
     t0 = time.perf_counter()
     duration = 20.0
     while time.perf_counter() - t0 < duration:
         for s, st in zip(sessions, streams):
             piece = np.resize(next(st), chunk)
-            if s.feed(piece) is not None:
-                results += 1
+            r = s.feed(piece)
+            if r is not None:
+                pending.append(r)
             total_audio += chunk / sr
+    feed_wall = time.perf_counter() - t0
+    # materialize all in-flight results in one batched fetch; through a
+    # remote accelerator link per-result fetches would otherwise dominate
+    from speech_intent_recognizer_tpu.infer.streaming import PendingResult
+    PendingResult.get_all(pending)
     wall = time.perf_counter() - t0
+    results = len(pending)
 
     capacity = total_audio / wall  # audio seconds processed per wall second
     print(json.dumps({
@@ -82,7 +93,9 @@ def main() -> int:
         "vs_baseline": None,
         "detail": {"utterances_classified": results,
                    "sessions_simulated": n_sessions,
-                   "wall_seconds": round(wall, 1)},
+                   "wall_seconds": round(wall, 1),
+                   "feed_seconds": round(feed_wall, 1),
+                   "result_drain_seconds": round(wall - feed_wall, 1)},
     }))
     return 0
 

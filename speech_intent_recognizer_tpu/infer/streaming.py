@@ -267,17 +267,87 @@ class StreamingFeaturizer:
         return self._pad_target(mel)
 
 
+class PendingResult:
+    """Asynchronously-completing classification result.
+
+    Wraps the device probabilities array while the accelerator is still
+    computing (JAX dispatch is async); materialization happens on first
+    access.  ``ready()`` polls without blocking; ``get()`` blocks.  In a
+    multi-session server this lets the event loop keep feeding OTHER
+    sessions' audio during one session's end-of-utterance device call +
+    result round trip — the round trip is the dominant per-utterance cost
+    when the accelerator is remote.
+    """
+
+    def __init__(self, probs, inv_label_map):
+        self._probs = probs  # live jax array
+        self._inv = inv_label_map
+        self._dict: Optional[Dict] = None
+
+    def ready(self) -> bool:
+        try:
+            return self._dict is not None or self._probs.is_ready()
+        except AttributeError:  # older jax: no is_ready
+            return True
+
+    def get(self) -> Dict:
+        if self._dict is None:
+            probs = np.asarray(self._probs)
+            pred = int(np.argmax(probs))
+            self._dict = {
+                "predicted_label": self._inv.get(pred, "Unknown"),
+                "confidence": float(probs[pred]),
+                "top_predictions": top_k_predictions(probs, self._inv, 3),
+            }
+            self._probs = None
+        return self._dict
+
+    # dict-like conveniences so sync call sites can stay unchanged
+    def __getitem__(self, key):
+        return self.get()[key]
+
+    def keys(self):
+        return self.get().keys()
+
+    @staticmethod
+    def get_all(results: list) -> list:
+        """Materialize many pending results in ONE batched device fetch.
+
+        ``jax.device_get`` on the whole list amortizes the per-transfer
+        link round trip — the difference between N round trips and one
+        when the accelerator is remote.  Returns the resolved dicts.
+        """
+        live = [r for r in results if r._dict is None]
+        if live:
+            values = jax.device_get([r._probs for r in live])
+            for r, probs in zip(live, values):
+                probs = np.asarray(probs)
+                pred = int(np.argmax(probs))
+                r._dict = {
+                    "predicted_label": r._inv.get(pred, "Unknown"),
+                    "confidence": float(probs[pred]),
+                    "top_predictions": top_k_predictions(probs, r._inv, 3),
+                }
+                r._probs = None
+        return [r.get() for r in results]
+
+
 class StreamingRecognizer:
     """VAD-gated streaming intent recognition session.
 
     Feed audio chunks (float32, model sample rate); features are computed
     incrementally *while speech is still being captured*; on end-of-speech
     (silence >= ``silence_limit``) only finalize + classify run.
+
+    ``async_results=True`` makes ``feed``/``flush`` return a
+    :class:`PendingResult` immediately after *dispatching* the finalize
+    device call instead of blocking on its value — the serving mode.
     """
 
     def __init__(self, predictor, chunk_size: int = 1024,
                  threshold: float = 0.01, silence_limit: float = 1.0,
-                 prior_recording: float = 0.5):
+                 prior_recording: float = 0.5, async_results: bool = False):
+        self.async_results = async_results
         self.predictor = predictor
         self.audio_cfg = predictor.audio_cfg
         self.chunk_size = chunk_size
@@ -375,16 +445,11 @@ class StreamingRecognizer:
                 s0 = (fz._frames_done + i) * fz.hop
                 tail[i] = prepared[s0 : s0 + fz.n_fft]
 
-        probs = np.asarray(self._fused(
+        probs_dev = self._fused(
             self.predictor.variables, jnp.asarray(mel_buf),
-            jnp.int32(count), jnp.asarray(tail), jnp.int32(remaining)))
-        pred = int(np.argmax(probs))
-        inv = self.predictor.inv_label_map
-        return {
-            "predicted_label": inv.get(pred, "Unknown"),
-            "confidence": float(probs[pred]),
-            "top_predictions": top_k_predictions(probs, inv, 3),
-        }
+            jnp.int32(count), jnp.asarray(tail), jnp.int32(remaining))
+        pending = PendingResult(probs_dev, self.predictor.inv_label_map)
+        return pending if self.async_results else pending.get()
 
     def _shared_jit(self, key: str, builder):
         """Compiled functions are cached on the predictor so that many

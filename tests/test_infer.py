@@ -144,6 +144,56 @@ class TestStreamingRecognizer:
         assert 0.0 <= result["confidence"] <= 1.0
         assert len(result["top_predictions"]) == 3
 
+    def test_async_results_mode(self, predictor, rng):
+        """async_results returns a PendingResult that resolves to the same
+        dict the synchronous mode produces (serving mode: the end-of-speech
+        device call is dispatched without blocking the feed loop)."""
+        sync = StreamingRecognizer(predictor, silence_limit=0.5)
+        asyn = StreamingRecognizer(predictor, silence_limit=0.5,
+                                   async_results=True)
+        speech = _speech_like(rng, 16000)
+        stream = np.concatenate([speech, np.zeros(12000, np.float32)])
+        got_sync = got_async = None
+        for i in range(0, len(stream) - 1024, 1024):
+            chunk = stream[i : i + 1024]
+            r1 = sync.feed(chunk)
+            r2 = asyn.feed(chunk)
+            got_sync = r1 if r1 is not None else got_sync
+            got_async = r2 if r2 is not None else got_async
+        assert got_sync is not None and got_async is not None
+        assert isinstance(got_sync, dict)
+        resolved = got_async.get()
+        assert resolved["predicted_label"] == got_sync["predicted_label"]
+        assert resolved["confidence"] == got_sync["confidence"]
+        # dict-like access works without an explicit get()
+        assert got_async["predicted_label"] == got_sync["predicted_label"]
+        assert got_async.ready()
+
+    def test_pending_result_get_all(self, predictor, rng):
+        """Batched materialization resolves many pending results in one
+        device fetch and matches per-result get()."""
+        from speech_intent_recognizer_tpu.infer.streaming import (
+            PendingResult)
+
+        speech = _speech_like(rng, 16000)
+        stream = np.concatenate([speech, np.zeros(12000, np.float32)])
+        pending = []
+        for _ in range(3):
+            rec = StreamingRecognizer(predictor, silence_limit=0.5,
+                                      async_results=True)
+            for i in range(0, len(stream) - 1024, 1024):
+                r = rec.feed(stream[i : i + 1024])
+                if r is not None:
+                    pending.append(r)
+        assert len(pending) == 3
+        resolved = PendingResult.get_all(pending)
+        assert len(resolved) == 3
+        labels = {d["predicted_label"] for d in resolved}
+        assert len(labels) == 1  # identical input -> identical result
+        # already-resolved entries pass through unchanged
+        again = PendingResult.get_all(pending)
+        assert again[0] is resolved[0]
+
     def test_partial_result_midstream(self, predictor, rng):
         rec = StreamingRecognizer(predictor, silence_limit=1.0)
         speech = _speech_like(rng, 8192)
