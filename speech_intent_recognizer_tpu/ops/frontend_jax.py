@@ -218,36 +218,6 @@ def _tail_reflect_chunks(waveforms, lengths, pad: int, hop: int,
     return rows.astype(jnp.int32), vals
 
 
-def _tail_reflect_vals(waveforms, lengths, pad: int, hop: int):
-    """Right-reflect tail as a dense 2-chunk-row correction.
-
-    Returns (vals (B, 2, hop) f32, row (B,) int32): adding ``vals`` at chunk
-    rows ``row``/``row+1`` of the reflect-padded signal's chunk view
-    reproduces the exact tail, for any length >= 1 (the reflect indices
-    ``clip(len-2-k, 0)`` realized by an x[0] fill for tiny lengths).  All
-    per-sample dynamic ops run on <= 2*pad-sized buffers — never on the
-    full waveform buffer.
-    """
-    b = waveforms.shape[0]
-    # seg[j] = x[start + j], start = max(len - pad - 1, 0)
-    start = jnp.maximum(lengths - (pad + 1), 0)
-    seg = jax.vmap(
-        lambda x, s: jax.lax.dynamic_slice(x, (s,), (pad,)))(waveforms, start)
-    rev = seg[:, ::-1]  # len >= pad+1: rev[k] = x[len-2-k] directly
-    fill = jnp.broadcast_to(waveforms[:, :1], (b, pad))
-    ext = jnp.concatenate([rev, fill], axis=1)  # (B, 2*pad)
-    shift = jnp.maximum((pad + 1) - lengths, 0)  # tiny-length adjustment
-    r = jax.vmap(
-        lambda e, s: jax.lax.dynamic_slice(e, (s,), (pad,)))(ext, shift)
-    off = (pad + lengths) % hop
-    buf = jnp.zeros((b, 2 * hop), waveforms.dtype)
-    vals = jax.vmap(
-        lambda z, rr, o: jax.lax.dynamic_update_slice(z, rr, (o,)))(
-            buf, r, off)
-    row = (pad + lengths) // hop
-    return vals.reshape(b, 2, hop), row.astype(jnp.int32)
-
-
 def waveform_rows(waveforms: jax.Array, hop: int,
                   multiple: int = 1) -> jax.Array:
     """(B, L) zero-padded waveforms -> (B, T, hop) row view for the fused
@@ -319,10 +289,9 @@ def _frontend_impl(waveforms, lengths, dft_cos, dft_sin, mel_fb,
 
         rows = waveform_rows(waveforms, hop, multiple=8)
         left = waveforms[:, 1 : pad + 1][:, ::-1][:, None, :]  # (B, 1, hop)
-        vals, row0 = _tail_reflect_vals(waveforms, lengths, pad, hop)
         t_true = waveforms.shape[1] // hop + 1
         return fp.fused_frontend_pallas(
-            rows, lengths, left, vals, row0, p, normalize=normalize,
+            rows, lengths, left, p, normalize=normalize,
             t_out=target_len if pad_to_target else t_true,
             out_dtype=out_dtype)
     prepared = _prepare_batch(waveforms, lengths, pad, reflect,

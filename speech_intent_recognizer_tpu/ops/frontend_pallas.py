@@ -167,33 +167,114 @@ def _split_bf16(x: jax.Array):
     return hi, lo
 
 
-def _fused_kernel(tvalid_ref, c0_ref, rows_ref, left_ref, vals_ref,
+def _tail_vals_in_kernel(chunks_u, length, x0, hop):
+    """Right-reflect tail values for ONE utterance, entirely in VMEM.
+
+    The tail is the reversed window ``y[i] = x[S - i]`` (i the position in
+    the two affected chunk rows, ``S = len + (len mod hop) - 2``), with the
+    reflect fallback ``x[0]`` wherever ``S - i < 0`` (tiny lengths — the
+    ``clip(len-2-k, 0)`` contract).  Realized Mosaic-natively as:
+
+      * dynamic 3-row slice of the chunk view around ``Q = S // hop``
+      * exact lane reversal per 128-block via an antidiagonal-matrix dot,
+        plus a static block-order swap
+      * ONE ``pltpu.roll`` by the per-utterance amount ``511 - S mod hop``
+      * mask-stitch across the row boundary
+
+    No per-row vmapped dynamic slices in XLA — those serialized at ~ms per
+    op per batch and used to dominate the whole fused front-end.
+
+    Args:
+      chunks_u: (C, hop) f32 — [left-reflect row ; waveform rows] of one
+        utterance (pre-correction).
+      length: scalar int32 true sample count.
+
+    Returns (2, hop) f32: correction rows for chunk rows c0 = (hop+len)//hop
+    and c0+1.
+    """
+    lane = _LANE
+    nb = hop // lane  # 128-blocks per row (4)
+    c_rows = chunks_u.shape[0]
+    off = length % hop  # == (pad + len) % hop at pad == hop
+    s_tot = length + off - 2
+    q = s_tot // hop
+    c_shift = (hop - 1) - (s_tot % hop)
+
+    # One zero guard row on top so q = 0 (tiny lengths) needs no clamping:
+    # x-row d maps to guarded row d + 2 (left row sits at d = -1).
+    # Rows padded to a sublane multiple — tpu.dynamic_rotate wants it.
+    n_ext = _round_up(chunks_u.shape[0] + 1, 8)
+    ext = jnp.concatenate(
+        [jnp.zeros((1, hop), jnp.float32), chunks_u,
+         jnp.zeros((n_ext - chunks_u.shape[0] - 1, hop), jnp.float32)],
+        axis=0)
+    # Dynamic 3-row window at q: Mosaic has no value-level dynamic_slice,
+    # but a dynamic sublane roll + static slice is equivalent.
+    sl = pltpu.roll(ext, n_ext - q, 0)[:3]  # x-rows Q-2, Q-1, Q
+
+    # Reverse lanes within each row: swap the 128-block order with static
+    # lane-slice concats, then reverse within blocks via ONE antidiagonal
+    # dot (0/1 matrix — exact; Mosaic has no negative-step slicing).
+    sl_sw = jnp.concatenate(
+        [sl[:, (nb - 1 - j) * lane:(nb - j) * lane] for j in range(nb)],
+        axis=1)  # (3, hop), block order reversed
+    jmat = (jax.lax.broadcasted_iota(jnp.int32, (lane, lane), 0)
+            == (lane - 1) - jax.lax.broadcasted_iota(
+                jnp.int32, (lane, lane), 1)).astype(jnp.float32)
+    rev_rows = jnp.dot(sl_sw.reshape(3 * nb, lane), jmat,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST).reshape(3, hop)
+    # revs[d] = reversed x-row (Q - d):  sl rows ascend, so flip row order.
+    revs = jnp.concatenate(
+        [rev_rows[2:3], rev_rows[1:2], rev_rows[0:1]], axis=0)
+
+    # out[l] = revs[l + c_shift]  ==  roll by -c_shift (jnp.roll semantics)
+    rolled = pltpu.roll(revs, (hop - c_shift) % hop, 1)
+
+    # Stitch: tail row r lane l reads rolled[r] while l < hop - c_shift,
+    # rolled[r+1] past the row boundary.
+    lanes2 = jax.lax.broadcasted_iota(jnp.int32, (2, hop), 1)
+    rowi2 = jax.lax.broadcasted_iota(jnp.int32, (2, hop), 0)
+    lo = jnp.concatenate([rolled[0:1], rolled[1:2]], axis=0)
+    hi = jnp.concatenate([rolled[1:2], rolled[2:3]], axis=0)
+    y = jnp.where(lanes2 < hop - c_shift, lo, hi)
+
+    # Reflect-index fallback to x[0] and the valid-extent mask k in [0,hop):
+    # i = hop*r + l, k = i - off, source j = s_tot - i.  x0 arrives as a
+    # prefetched scalar (Mosaic rejects offset (1,1)-slice broadcasts).
+    i2 = rowi2 * hop + lanes2
+    k2 = i2 - off
+    y = jnp.where(s_tot - i2 >= 0, y, x0)
+    return jnp.where(jnp.logical_and(k2 >= 0, k2 < hop), y, 0.0)
+
+
+def _fused_kernel(lengths_ref, firsts_ref, rows_ref, left_ref,
                   win_ref, rh_ref, rl_ref, fh_ref, fl_ref, out_ref, *,
                   bu, t_k, t_out, hop, n_mels, normalize, eps, out_dtype):
     lane = _LANE
     b_idx = pl.program_id(0)
     xr = rows_ref[...]  # (bu, t_k, hop) f32 raw waveform rows (zero-padded)
-    # Left-reflect chunk rows, precomputed in XLA (Mosaic has no lane
-    # reversal): prepared[j] = x[hop - j] for j in [0, hop).
+    # Left-reflect chunk rows, precomputed in XLA (cheap static ops there).
     chunks = jnp.concatenate([left_ref[...], xr], axis=1)  # (bu, t_k+1, hop)
-    # Dynamic right-reflect tail: add the (2, hop) correction at chunk rows
-    # c0 / c0+1 per utterance (row c0+1 may fall off the end — masked away).
-    # Per-utterance scalars enter via scalar-select chains (Mosaic has no
-    # (bu,) -> (bu,1,1) vector reshape).
-    v = vals_ref[...]  # (bu, 2, hop)
+    # Dynamic right-reflect tail, computed HERE from the chunk rows and
+    # added at chunk rows c0 / c0+1 per utterance (row c0+1 may fall off
+    # the end — masked away).  Per-utterance scalars enter via
+    # scalar-select chains (Mosaic has no (bu,) -> (bu,1,1) reshape).
     iota_u = jax.lax.broadcasted_iota(jnp.int32, (bu, t_k + 1, hop), 0)
     rowi = jax.lax.broadcasted_iota(jnp.int32, (bu, t_k + 1, hop), 1)
-    hit0 = hit1 = None
+    corr = None
     for u in range(bu):
-        c0u = c0_ref[bu * b_idx + u]
+        ln_u = lengths_ref[bu * b_idx + u]
+        v_u = _tail_vals_in_kernel(chunks[u], ln_u,
+                                   firsts_ref[bu * b_idx + u], hop)
+        c0u = (hop + ln_u) // hop
         uu = iota_u == u
         h0 = jnp.logical_and(uu, rowi == c0u)
         h1 = jnp.logical_and(uu, rowi == c0u + 1)
-        hit0 = h0 if hit0 is None else jnp.logical_or(hit0, h0)
-        hit1 = h1 if hit1 is None else jnp.logical_or(hit1, h1)
-    chunks = (chunks
-              + jnp.where(hit0, v[:, 0:1, :], 0.0)
-              + jnp.where(hit1, v[:, 1:2, :], 0.0))
+        cu = (jnp.where(h0, v_u[0:1][None], 0.0)
+              + jnp.where(h1, v_u[1:2][None], 0.0))
+        corr = cu if corr is None else corr + cu
+    chunks = chunks + corr
 
     # Windowed contiguous 128-sample blocks of every frame: with
     # hop = n_fft/2 = 4 blocks, frame t's block c lives in chunk row
@@ -275,8 +356,8 @@ def _fused_kernel(tvalid_ref, c0_ref, rows_ref, left_ref, vals_ref,
     lanes = jax.lax.broadcasted_iota(jnp.int32, (bu, t_k, n_mels_pad), 2)
     valid = None
     for u in range(bu):
-        vu = jnp.logical_and(iota_u2 == u,
-                             rows_i < tvalid_ref[bu * b_idx + u])
+        tv_u = 1 + lengths_ref[bu * b_idx + u] // hop
+        vu = jnp.logical_and(iota_u2 == u, rows_i < tv_u)
         valid = vu if valid is None else jnp.logical_or(valid, vu)
     mask = jnp.logical_and(valid, lanes < n_mels).astype(jnp.float32)
     if normalize:
@@ -310,7 +391,7 @@ _BU = 4  # utterances per grid step (amortizes per-step VPU/pipeline cost)
 
 @functools.partial(jax.jit, static_argnames=(
     "t_out", "hop", "n_mels", "normalize", "eps", "out_dtype", "interpret"))
-def _fused_call(rows, t_valid, c0, left, vals, win, rh, rl,
+def _fused_call(rows, lengths, firsts, left, win, rh, rl,
                 fh, fl, t_out, hop, n_mels, normalize, eps,
                 out_dtype, interpret):
     b, t_k, _ = rows.shape  # t_k waveform rows -> t_k frames (incl. pad)
@@ -320,9 +401,8 @@ def _fused_call(rows, t_valid, c0, left, vals, win, rh, rl,
         pad = ((0, b_pad - b),)
         rows = jnp.pad(rows, pad + ((0, 0), (0, 0)))
         left = jnp.pad(left, pad + ((0, 0), (0, 0)))
-        vals = jnp.pad(vals, pad + ((0, 0), (0, 0)))
-        t_valid = jnp.pad(t_valid, pad, constant_values=1)
-        c0 = jnp.pad(c0, pad, constant_values=1)
+        lengths = jnp.pad(lengths, pad, constant_values=1)
+        firsts = jnp.pad(firsts, pad)
     n_mels_pad = fh.shape[1]
     kernel = functools.partial(
         _fused_kernel, bu=bu, t_k=t_k, t_out=t_out, hop=hop, n_mels=n_mels,
@@ -336,8 +416,6 @@ def _fused_call(rows, t_valid, c0, left, vals, win, rh, rl,
             pl.BlockSpec((bu, t_k, hop), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bu, 1, hop), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bu, 2, hop), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             const((8, 1, _LANE)),          # window blocks
             const((28 * _LANE, _LANE)),    # twiddled outer DFT rhs, hi
@@ -363,7 +441,7 @@ def _fused_call(rows, t_valid, c0, left, vals, win, rh, rl,
             transcendentals=b_pad * t_k * n_mels_pad,
         ),
         interpret=interpret,
-    )(t_valid, c0, rows, left, vals, win, rh, rl, fh, fl)
+    )(lengths, firsts, rows, left, win, rh, rl, fh, fl)
     return out[:b]
 
 
@@ -435,8 +513,7 @@ def _fused_operands(p: FrontendParams):
 
 
 def fused_frontend_pallas(wf_rows: jax.Array, lengths: jax.Array,
-                          left_row: jax.Array, tail_vals: jax.Array,
-                          tail_row: jax.Array,
+                          left_row: jax.Array,
                           p: FrontendParams, normalize: bool = True,
                           t_out: int | None = None,
                           out_dtype=jnp.float32) -> jax.Array:
@@ -446,12 +523,10 @@ def fused_frontend_pallas(wf_rows: jax.Array, lengths: jax.Array,
       wf_rows: (B, T, hop) f32 — the zero-padded waveform buffer viewed as
         hop-sized rows (``frontend_jax.waveform_rows``); T = frame count
         padded to a sublane multiple (junk frames are masked out).
-      lengths: (B,) int32 true sample counts.
+      lengths: (B,) int32 true sample counts (sole per-utterance scalar —
+        the dynamic right-reflect tail is computed in-kernel from it).
       left_row: (B, 1, hop) left-reflect chunk row (flip of samples 1..hop;
-        computed in XLA — Mosaic has no lane reversal).
-      tail_vals: (B, 2, hop) right-reflect correction
-        (``frontend_jax._tail_reflect_vals``).
-      tail_row: (B,) int32 first chunk row of the correction.
+        cheap static ops in XLA).
       normalize: fuse the masked per-utterance mean/std normalization.
       t_out: output time axis (pad/trim); defaults to ``p.target_length``.
       out_dtype: output dtype (f32, or bf16 for direct model handoff).
@@ -461,8 +536,7 @@ def fused_frontend_pallas(wf_rows: jax.Array, lengths: jax.Array,
     t_out = p.target_length if t_out is None else t_out
     win, rh, rl, fh, fl = _fused_operands(p)
     interpret = jax.default_backend() != "tpu"
-    t_valid = (1 + lengths // p.hop_length).astype(jnp.int32)
-    return _fused_call(wf_rows, t_valid, tail_row.astype(jnp.int32),
-                       left_row, tail_vals, win, rh, rl, fh, fl,
+    return _fused_call(wf_rows, lengths.astype(jnp.int32),
+                       wf_rows[:, 0, 0], left_row, win, rh, rl, fh, fl,
                        t_out, p.hop_length, p.n_mels, normalize,
                        p.norm_eps, jnp.dtype(out_dtype), interpret)
