@@ -112,11 +112,12 @@ def mel_db_pallas(frames: jax.Array, p: FrontendParams) -> jax.Array:
 # ---------------------------------------------------------------------------
 # v5: fully fused per-utterance kernel — factorized (Cooley-Tukey) DFT.
 #
-# One grid step processes ONE utterance end-to-end from RAW waveform rows
+# One grid step processes FOUR utterances end-to-end from RAW waveform rows
 # (no prepared array in HBM; the (T, hop) rows stream HBM->VMEM through the
-# auto-double-buffered pallas pipeline).  The left-reflect chunk row and the
-# dynamic right-reflect tail correction arrive as tiny precomputed inputs,
-# exactly as in the retired dense-DFT revision (see git history).
+# auto-double-buffered pallas pipeline).  The left-reflect chunk row arrives
+# as a tiny precomputed input; the dynamic right-reflect tail is computed
+# IN-KERNEL from the chunk rows (see _tail_vals_in_kernel) — its XLA-side
+# per-row dynamic slices used to cost more than the entire kernel.
 #
 # The 1024-point windowed rDFT is NOT one dense GEMM (the XLA path's
 # formulation, ~16 MFLOP effective per frame at Precision.HIGH): it is
