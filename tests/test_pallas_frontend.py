@@ -110,6 +110,24 @@ class TestEndToEndBackend:
             pls = np.asarray(log_mel_frontend(*args, backend="pallas"))
             np.testing.assert_allclose(pls, xla, rtol=2e-3, atol=2e-3)
 
+    def test_chunk_boundary_lengths(self, rng):
+        """The in-kernel reflect tail (dynamic roll + reversal + stitch)
+        must be exact at every chunk-boundary alignment of the utterance
+        length, including the tiny-length x[0]-fill fallback."""
+        cfg = AudioConfig()
+        params = make_frontend_params(cfg)
+        hop = cfg.hop_length
+        lengths = [2, 3, 100, hop - 1, hop, hop + 1, hop + 2,
+                   2 * hop, 2 * hop + 1, 3 * hop - 1, 8000 + hop // 2,
+                   cfg.max_samples - 1, cfg.max_samples]
+        buf = np.zeros((len(lengths), cfg.max_samples), np.float32)
+        for i, n in enumerate(lengths):
+            buf[i, :n] = _rand_wave(rng, n)
+        args = (jnp.asarray(buf), jnp.asarray(lengths, np.int32), params)
+        xla = np.asarray(log_mel_frontend(*args, backend="xla"))
+        pls = np.asarray(log_mel_frontend(*args, backend="pallas"))
+        np.testing.assert_allclose(pls, xla, rtol=2e-3, atol=2e-3)
+
     def test_pallas_backend_matches_golden(self, rng):
         cfg = AudioConfig()
         params = make_frontend_params(cfg)
