@@ -77,7 +77,7 @@ def main() -> int:
         lambda variables, waveforms, lengths, s:
         jnp.sum(forward(variables, waveforms, lengths)) + s)
 
-    batch = 1024
+    batch = 2048
     rng = np.random.default_rng(0)
     waveforms = jnp.asarray(_speech_like(rng, (batch, audio_cfg.max_samples)))
     lengths = jnp.full((batch,), audio_cfg.max_samples, jnp.int32)
