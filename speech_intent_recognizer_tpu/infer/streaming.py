@@ -19,6 +19,7 @@ block and a finalize block) so the streaming path never recompiles.
 
 from __future__ import annotations
 
+from collections.abc import Mapping
 from functools import partial
 from typing import Dict, Optional
 
@@ -267,16 +268,21 @@ class StreamingFeaturizer:
         return self._pad_target(mel)
 
 
-class PendingResult:
+class PendingResult(Mapping):
     """Asynchronously-completing classification result.
 
     Wraps the device probabilities array while the accelerator is still
     computing (JAX dispatch is async); materialization happens on first
-    access.  ``ready()`` polls without blocking; ``get()`` blocks.  In a
+    access.  ``ready()`` polls without blocking; ``resolve()`` blocks.  In a
     multi-session server this lets the event loop keep feeding OTHER
     sessions' audio during one session's end-of-utterance device call +
     result round trip — the round trip is the dominant per-utterance cost
     when the accelerator is remote.
+
+    Implements :class:`collections.abc.Mapping`, so sync call sites that
+    treat results as plain dicts (``r["confidence"]``, ``r.items()``,
+    ``"confidence" in r``, ``dict(r)``, ``r.get(key, default)``) keep
+    working unchanged when ``async_results`` is enabled.
     """
 
     def __init__(self, probs, inv_label_map):
@@ -290,7 +296,8 @@ class PendingResult:
         except AttributeError:  # older jax: no is_ready
             return True
 
-    def get(self) -> Dict:
+    def resolve(self) -> Dict:
+        """Materialize (blocking) and return the result dict."""
         if self._dict is None:
             probs = np.asarray(self._probs)
             pred = int(np.argmax(probs))
@@ -302,12 +309,19 @@ class PendingResult:
             self._probs = None
         return self._dict
 
-    # dict-like conveniences so sync call sites can stay unchanged
-    def __getitem__(self, key):
-        return self.get()[key]
+    def get(self, key=None, default=None):
+        """dict.get-compatible; legacy zero-arg form returns the full dict."""
+        d = self.resolve()
+        return d if key is None else d.get(key, default)
 
-    def keys(self):
-        return self.get().keys()
+    def __getitem__(self, key):
+        return self.resolve()[key]
+
+    def __iter__(self):
+        return iter(self.resolve())
+
+    def __len__(self):
+        return len(self.resolve())
 
     @staticmethod
     def get_all(results: list) -> list:
@@ -329,7 +343,7 @@ class PendingResult:
                     "top_predictions": top_k_predictions(probs, r._inv, 3),
                 }
                 r._probs = None
-        return [r.get() for r in results]
+        return [r.resolve() for r in results]
 
 
 class StreamingRecognizer:

@@ -279,7 +279,10 @@ def _frontend_impl(waveforms, lengths, dft_cos, dft_sin, mel_fb,
                        target_len, mode, eps, gmean, gstd)
     pad = n_fft // 2
     reflect = mode == "torchaudio"
-    sparse_tail = reflect and n_fft == 2 * hop
+    # The sparse chunk-level tail applies only on the chunked XLA path; the
+    # non-fused pallas fallback below frames the prepared buffer directly,
+    # so it needs the tail patched in during prepare (per-sample updates).
+    sparse_tail = reflect and n_fft == 2 * hop and backend != "pallas"
     if backend == "pallas" and n_fft == 2 * hop and n_fft == 1024:
         # Fully fused kernel: reads the RAW waveform rows (no prepared
         # array in HBM); left reflect + dynamic tail + factorized DFT +

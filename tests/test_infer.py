@@ -168,6 +168,15 @@ class TestStreamingRecognizer:
         # dict-like access works without an explicit get()
         assert got_async["predicted_label"] == got_sync["predicted_label"]
         assert got_async.ready()
+        # full Mapping protocol: dict.get signature, items/iter/in/dict()
+        assert got_async.get("predicted_label") == got_sync["predicted_label"]
+        assert got_async.get("no_such_key", 42) == 42
+        assert "confidence" in got_async
+        assert set(got_async) == set(got_sync)
+        assert dict(got_async) == got_sync
+        assert dict(got_async.items()) == got_sync
+        assert len(got_async) == len(got_sync)
+        assert got_async.resolve() is got_async.resolve()
 
     def test_pending_result_get_all(self, predictor, rng):
         """Batched materialization resolves many pending results in one
