@@ -43,30 +43,48 @@ def main() -> int:
     audio_cfg = AudioConfig()
     fe = make_frontend_params(audio_cfg)
     # The production inference configuration (what Predictor.from_checkpoint
-    # ships): BatchNorm folded into the conv kernels, bf16 compute, bf16
-    # feature handoff from the fused Pallas frontend (backend="auto").
-    model = CNNAudioGRU(num_classes=31, compute_dtype=jnp.bfloat16,
-                        fold_bn=True)
-    # init on CPU (skips a large one-off accelerator compile), then upload
-    from speech_intent_recognizer_tpu.models.cnn_gru import fold_batchnorm
+    # ships): BatchNorm folded into the conv kernels, bf16 compute, and the
+    # FIRST CONV STAGE fused into the Pallas frontend kernel (conv1 + ReLU
+    # + 2x2 pool run while the mel image is in VMEM; the conv1_external
+    # model variant consumes the pooled output directly).  Waveform buffers
+    # are row-aligned (padded_samples) so the kernel's row view is a free
+    # reshape — zero XLA prep.
+    from speech_intent_recognizer_tpu.models.cnn_gru import (
+        conv1_external_params, fold_batchnorm)
+    from speech_intent_recognizer_tpu.ops.frontend_jax import (
+        log_mel_conv1_frontend, padded_samples)
+    from speech_intent_recognizer_tpu.ops.frontend_pallas import (
+        conv1_band_operands)
+
     init_shape = (1, audio_cfg.n_mels, audio_cfg.mel_spec_length)
     base = CNNAudioGRU(num_classes=31, compute_dtype=jnp.bfloat16)
+    model = CNNAudioGRU(num_classes=31, compute_dtype=jnp.bfloat16,
+                        fold_bn=True)
+    variant = CNNAudioGRU(num_classes=31, compute_dtype=jnp.bfloat16,
+                          fold_bn=True, conv1_external=True)
+    # init on CPU (skips a large one-off accelerator compile), then upload
     try:
         cpu0 = jax.devices("cpu")[0]
         with jax.default_device(cpu0):
             raw = init_model(base, jax.random.key(0), init_shape)
-            variables = {"params": fold_batchnorm(raw["params"],
-                                                  raw["batch_stats"])}
-        variables = jax.device_put(variables, jax.devices()[0])
+            folded = fold_batchnorm(raw["params"], raw["batch_stats"])
+            var_params, c1k, c1b = conv1_external_params(folded)
+        dev = jax.devices()[0]
+        variables = jax.device_put({"params": folded}, dev)
+        var_vars = jax.device_put({"params": var_params}, dev)
+        weo = jax.device_put(conv1_band_operands(c1k, c1b,
+                                                 audio_cfg.n_mels), dev)
     except RuntimeError:
         raw = init_model(base, jax.random.key(0), init_shape)
-        variables = {"params": fold_batchnorm(raw["params"],
-                                              raw["batch_stats"])}
+        folded = fold_batchnorm(raw["params"], raw["batch_stats"])
+        var_params, c1k, c1b = conv1_external_params(folded)
+        variables = {"params": folded}
+        var_vars = {"params": var_params}
+        weo = conv1_band_operands(c1k, c1b, audio_cfg.n_mels)
 
     def forward(variables, waveforms, lengths):
-        feats = log_mel_frontend(waveforms, lengths, fe, backend="auto",
-                                 out_dtype=jnp.bfloat16)
-        return model.apply(variables, feats, train=False)
+        pooled = log_mel_conv1_frontend(waveforms, lengths, fe, weo)
+        return variant.apply(variables, pooled, train=False)
 
     # chained variant for sustained-throughput timing: the scalar carry makes
     # successive batches a device-side dependency chain, so the measurement
@@ -78,12 +96,59 @@ def main() -> int:
         jnp.sum(forward(variables, waveforms, lengths)) + s)
 
     batch = 2048
+    buf_width = padded_samples(audio_cfg.max_samples, audio_cfg.hop_length)
     rng = np.random.default_rng(0)
-    waveforms = jnp.asarray(_speech_like(rng, (batch, audio_cfg.max_samples)))
+    wav_np = np.zeros((batch, buf_width), np.float32)
+    wav_np[:, :audio_cfg.max_samples] = _speech_like(
+        rng, (batch, audio_cfg.max_samples))
+    waveforms = jnp.asarray(wav_np)
     lengths = jnp.full((batch,), audio_cfg.max_samples, jnp.int32)
 
+    # ---- on-device numerical parity gate (before any timing) ----
+    # The headline must be produced by a numerically correct Mosaic-compiled
+    # kernel: run a few variable-length utterances through the SAME
+    # production frontend configuration and assert they match the NumPy
+    # golden (the reference torchaudio contract,
+    # scripts/precompute_features.py:28-73) on normalized features.
+    gate_lengths = [8000, 16000, 39999, 40000, 52117, 79999,
+                    audio_cfg.max_samples, 2 * audio_cfg.hop_length + 1]
+    gate_buf = np.zeros((len(gate_lengths), buf_width), np.float32)
+    for i, n in enumerate(gate_lengths):
+        gate_buf[i, :n] = _speech_like(np.random.default_rng(i + 1), (n,))
+    gate_wf = jnp.asarray(gate_buf)
+    gate_ln = jnp.asarray(gate_lengths, jnp.int32)
+    gate_feats = np.asarray(log_mel_frontend(gate_wf, gate_ln, fe,
+                                             backend="auto"))
+    gate_err = 0.0
+    golden_feats = []
+    for i, n in enumerate(gate_lengths):
+        want = golden.pad_or_trim_np(
+            golden.log_mel_spectrogram_np(gate_buf[i, :n]),
+            audio_cfg.mel_spec_length)
+        golden_feats.append(want.astype(np.float32))
+        gate_err = max(gate_err, float(np.abs(gate_feats[i] - want).max()))
+    # ...and the SHIPPED path end-to-end: conv1-fused probabilities must
+    # match golden-features -> folded model probabilities (bf16 scale)
+    gate_probs = np.asarray(jax.nn.softmax(
+        forward(var_vars, gate_wf, gate_ln).astype(jnp.float32), axis=-1))
+    want_probs = np.asarray(jax.nn.softmax(model.apply(
+        variables, jnp.asarray(np.stack(golden_feats), jnp.float32),
+        train=False).astype(jnp.float32), axis=-1))
+    gate_prob_err = float(np.abs(gate_probs - want_probs).max())
+    argmax_ok = bool((np.argmax(gate_probs, -1)
+                      == np.argmax(want_probs, -1)).all())
+    if not (gate_err < 0.05 and gate_prob_err < 0.02 and argmax_ok):
+        print(json.dumps({
+            "metric": "fused_feature_forward_throughput", "value": 0.0,
+            "unit": "utterances/sec/chip", "vs_baseline": 0.0,
+            "error": f"on-device parity gate FAILED: feature err "
+                     f"{gate_err:.4f} (>=0.05?), prob err "
+                     f"{gate_prob_err:.4f} (>=0.02?), argmax_ok={argmax_ok}",
+        }))
+        return 1
+
     # warmup + compile
-    float(fused_chained(variables, waveforms, lengths, jnp.float32(0)))
+    float(fused_chained(var_vars, waveforms, lengths, jnp.float32(0)))
 
     # best-of-k rounds: the shared accelerator link has high load variance,
     # so the max over rounds approximates uncontended hardware throughput
@@ -93,7 +158,7 @@ def main() -> int:
         s = jnp.float32(0)
         t0 = time.perf_counter()
         for _ in range(iters):
-            s = fused_chained(variables, waveforms, lengths, s)
+            s = fused_chained(var_vars, waveforms, lengths, s)
         float(s)  # materialize: fences the whole chain
         rates.append(batch * iters / (time.perf_counter() - t0))
     tpu_rate = max(rates)
@@ -144,6 +209,8 @@ def main() -> int:
         "unit": "utterances/sec/chip",
         "vs_baseline": round(tpu_rate / max(cpu_rate, 1e-9), 2),
         "detail": {
+            "parity_gate_max_err": round(gate_err, 5),
+            "parity_gate_prob_err": round(gate_prob_err, 5),
             "cpu_baseline_rate": round(cpu_rate, 2),
             "cpu_baseline": "librosa-math features + torch CPU forward, "
                             f"{k} utts, best-of-5 feat / best-of-8 fwd",

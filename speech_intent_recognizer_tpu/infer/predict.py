@@ -46,6 +46,12 @@ class Predictor:
         self.audio_cfg = audio_cfg or AudioConfig()
         self.frontend_params = make_frontend_params(self.audio_cfg)
         self._fn = None
+        self._fn_vars = None
+        # (variant_model, variant_variables, weo) when the fused
+        # frontend+conv1 Pallas fast path is enabled (see
+        # _maybe_enable_conv1_fusion); batch waveform inference only — the
+        # streaming/feature paths keep the standard model.
+        self._conv1 = None
 
     @classmethod
     def from_checkpoint(cls, model_path: str, label_map_path: str,
@@ -70,8 +76,10 @@ class Predictor:
             # fewer fp32 round-trips between the bf16 convs)
             params = fold_batchnorm(variables["params"], batch_stats)
             model = CNNAudioGRU(num_classes=num_classes, fold_bn=True)
-            return cls(model, {"params": params, "batch_stats": {}},
+            pred = cls(model, {"params": params, "batch_stats": {}},
                        label_map, audio_cfg)
+            pred._maybe_enable_conv1_fusion(params)
+            return pred
         model = CNNAudioGRU(num_classes=num_classes)
         variables = {"params": variables["params"],
                      "batch_stats": batch_stats}
@@ -79,9 +87,49 @@ class Predictor:
 
     # ----------------------------------------------------------- fused path
 
+    def _maybe_enable_conv1_fusion(self, folded_params: dict) -> None:
+        """Enable the fused frontend+conv1 Pallas fast path when the audio
+        geometry matches the kernel contract (torchaudio mode, n_fft=1024,
+        hop=512, n_mels=64): the first conv stage runs inside the frontend
+        kernel while the mel image is in VMEM, and the batch waveform path
+        serves the ``conv1_external`` model variant (logit-equivalent at
+        bf16 — the production compute dtype)."""
+        cfg = self.audio_cfg
+        conv1 = folded_params.get("conv1")
+        if not (cfg.frontend == "torchaudio" and cfg.n_fft == 1024
+                and cfg.hop_length == 512 and cfg.n_mels == 64
+                and cfg.mel_spec_length % 2 == 0
+                and isinstance(conv1, dict) and "bias" in conv1):
+            return
+        from speech_intent_recognizer_tpu.models.cnn_gru import (
+            conv1_external_params)
+        from speech_intent_recognizer_tpu.ops.frontend_pallas import (
+            conv1_band_operands)
+
+        var_params, c1k, c1b = conv1_external_params(folded_params)
+        variant = CNNAudioGRU(num_classes=self.model.num_classes,
+                              compute_dtype=jnp.bfloat16, fold_bn=True,
+                              conv1_external=True)
+        weo = conv1_band_operands(c1k, c1b, cfg.n_mels)
+        self._conv1 = (variant, {"params": var_params}, weo)
+
     def _build(self):
-        model = self.model
         fe = self.frontend_params
+        if self._conv1 is not None:
+            from speech_intent_recognizer_tpu.ops.frontend_jax import (
+                log_mel_conv1_frontend)
+
+            variant, variant_vars, weo = self._conv1
+
+            @jax.jit
+            def fused_conv1(variables, waveforms, lengths):
+                pooled = log_mel_conv1_frontend(waveforms, lengths, fe, weo)
+                logits = variant.apply(variables, pooled, train=False)
+                return jax.nn.softmax(logits, axis=-1)
+
+            return fused_conv1, variant_vars
+
+        model = self.model
 
         @partial(jax.jit, static_argnums=())
         def fused(variables, waveforms, lengths):
@@ -89,23 +137,32 @@ class Predictor:
             logits = model.apply(variables, feats, train=False)
             return jax.nn.softmax(logits, axis=-1)
 
-        return fused
+        return fused, self.variables
 
     def predict_waveform_batch(self, waveforms: np.ndarray,
                                lengths: np.ndarray) -> np.ndarray:
-        """(B, max_samples) float32 + (B,) lengths -> (B, C) probabilities."""
+        """(B, L) float32 + (B,) lengths -> (B, C) probabilities."""
         if self._fn is None:
-            self._fn = self._build()
-        return np.asarray(self._fn(self.variables, jnp.asarray(waveforms),
+            self._fn, self._fn_vars = self._build()
+        return np.asarray(self._fn(self._fn_vars, jnp.asarray(waveforms),
                                    jnp.asarray(lengths, jnp.int32)))
 
     # ------------------------------------------------------------- file API
+
+    def _buffer_width(self) -> int:
+        """Row-aligned batch-buffer width: makes the fused kernels' row
+        view a zero-copy reshape (see ``frontend_jax.padded_samples``)."""
+        from speech_intent_recognizer_tpu.ops.frontend_jax import (
+            padded_samples)
+
+        return padded_samples(self.audio_cfg.max_samples,
+                              self.audio_cfg.hop_length)
 
     def _load_buffer(self, audio_path: str):
         x, _ = load_audio(audio_path,
                           target_sample_rate=self.audio_cfg.sample_rate)
         n = min(len(x), self.audio_cfg.max_samples)
-        buf = np.zeros((1, self.audio_cfg.max_samples), np.float32)
+        buf = np.zeros((1, self._buffer_width()), np.float32)
         buf[0, :n] = x[:n]
         return buf, np.asarray([max(n, 1)], np.int32)
 
@@ -135,7 +192,7 @@ class Predictor:
             x = resample_np(x, sample_rate,
                             self.audio_cfg.sample_rate).astype(np.float32)
         n = min(len(x), self.audio_cfg.max_samples)
-        buf = np.zeros((1, self.audio_cfg.max_samples), np.float32)
+        buf = np.zeros((1, self._buffer_width()), np.float32)
         buf[0, :n] = x[:n]
         probs = self.predict_waveform_batch(buf,
                                             np.asarray([max(n, 1)], np.int32))[0]
@@ -229,4 +286,7 @@ class Wav2VecPredictor(Predictor):
             logits = model.apply(variables, waveforms, mask, train=False)
             return jax.nn.softmax(logits, axis=-1)
 
-        return fused
+        return fused, self.variables
+
+    def _buffer_width(self) -> int:
+        return self.audio_cfg.max_samples  # raw-waveform model: no framing

@@ -163,9 +163,17 @@ class CNNAudioGRU(nn.Module):
     compute_dtype: Any = jnp.float32
     fold_bn: bool = False
     gru_impl: str = "scan"  # "pallas" for the single-kernel recurrence
+    # Inference variant whose first conv stage runs inside the Pallas
+    # frontend kernel (ops/frontend_pallas.fused_frontend_conv1_pallas):
+    # input is that kernel's pooled L1 output (B, T/2, (n_mels/2)*C1) and
+    # conv2/conv3 operate on (T, M) with spatially-transposed kernels (see
+    # conv1_external_params).  Requires fold_bn.
+    conv1_external: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.conv1_external:
+            return self._forward_conv1_external(x, train)
         # Accept (B, n_mels, T) or (B, 1, n_mels, T) like the reference
         # (models.py:46-47); convert to NHWC (B, n_mels, T, 1).
         if x.ndim == 3:
@@ -192,7 +200,35 @@ class CNNAudioGRU(nn.Module):
         # checkpoints see identical GRU inputs.
         b, h, t, c = x.shape
         x = jnp.transpose(x, (0, 2, 3, 1)).reshape(b, t, c * h)
+        return self._head(x, train)
 
+    def _forward_conv1_external(self, x, train: bool):
+        """Tail of the conv stack for the fused-conv1 kernel's output.
+
+        ``x``: (B, T', M'*C1) with lane = m*C1 + c (the kernel layout), or
+        already (B, T', M', C1).  Convs run on spatial dims (T, M) — the
+        transpose of the standard path — so the converter transposes the
+        conv2/conv3 kernels' spatial axes; the math is identical.
+        """
+        if not self.fold_bn:
+            raise ValueError("conv1_external requires fold_bn=True")
+        c1 = self.conv_channels[0]
+        if x.ndim == 3:
+            b, t, mc = x.shape
+            x = x.reshape(b, t, mc // c1, c1)
+        x = x.astype(self.compute_dtype)
+        for i, features in enumerate(self.conv_channels[1:], start=2):
+            x = nn.Conv(features, (3, 3), strides=1, padding="SAME",
+                        use_bias=True, dtype=self.compute_dtype,
+                        param_dtype=jnp.float32, name=f"conv{i}")(x)
+            x = nn.relu(x)
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        # (B, T', M', C) -> (B, T', C * M') channel-major (models.py:54-57)
+        b, t, m, c = x.shape
+        x = jnp.transpose(x, (0, 1, 3, 2)).reshape(b, t, c * m)
+        return self._head(x, train)
+
+    def _head(self, x, train: bool):
         x = TorchGRU(hidden_size=self.gru_hidden, num_layers=self.gru_layers,
                      bidirectional=True, dropout=self.dropout,
                      compute_dtype=self.compute_dtype, impl=self.gru_impl,
@@ -253,3 +289,32 @@ def fold_batchnorm(params: dict, batch_stats: dict, eps: float = 1e-5) -> dict:
             "bias": bias - mean * mult,
         }
     return out
+
+
+def conv1_external_params(folded_params: dict):
+    """Split BN-folded params for the fused-conv1 inference variant.
+
+    Returns ``(variant_params, conv1_kernel, conv1_bias)``:
+
+    * ``variant_params`` — the ``CNNAudioGRU(conv1_external=True)`` tree:
+      conv1 removed, conv2/conv3 kernels' spatial axes transposed (the
+      variant convolves over (T, M) instead of (M, T); a 3x3 SAME conv is
+      identical under transposed spatial dims with a transposed kernel).
+    * ``conv1_kernel``/``conv1_bias`` — the folded L1 stage, to be turned
+      into Pallas band operands via
+      ``ops.frontend_pallas.conv1_band_operands``.
+    """
+    out = {}
+    for name, p in folded_params.items():
+        if name == "conv1":
+            continue
+        if name.startswith("conv"):
+            out[name] = {
+                "kernel": jnp.transpose(jnp.asarray(p["kernel"]),
+                                        (1, 0, 2, 3)),
+                "bias": jnp.asarray(p["bias"]),
+            }
+        else:
+            out[name] = p
+    c1 = folded_params["conv1"]
+    return out, jnp.asarray(c1["kernel"]), jnp.asarray(c1["bias"])

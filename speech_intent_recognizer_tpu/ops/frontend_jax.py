@@ -218,13 +218,36 @@ def _tail_reflect_chunks(waveforms, lengths, pad: int, hop: int,
     return rows.astype(jnp.int32), vals
 
 
+def padded_samples(max_samples: int, hop: int = 512,
+                   multiple: int = 8) -> int:
+    """Row-aligned waveform buffer size for the fused Pallas kernels.
+
+    Callers that allocate their batch buffers at this size (instead of the
+    raw ``max_samples``) make :func:`waveform_rows` a zero-copy reshape —
+    removing the kernel path's one remaining XLA prep copy (~335 MB/b1024).
+    The extra tail samples stay zero; true lengths are what the kernel
+    masks on.
+    """
+    t = -(-(max_samples // hop + 1) // multiple) * multiple
+    return t * hop
+
+
 def waveform_rows(waveforms: jax.Array, hop: int,
                   multiple: int = 1) -> jax.Array:
     """(B, L) zero-padded waveforms -> (B, T, hop) row view for the fused
     pallas kernel, T = L // hop + 1 (the frame count at hop == n_fft/2),
     rounded up to ``multiple`` (sublane alignment; extra frames are junk
-    the kernel's valid mask removes)."""
+    the kernel's valid mask removes).
+
+    When L is already row-aligned (``L % (hop * multiple) == 0`` — a
+    :func:`padded_samples`-sized buffer) this is a FREE reshape with
+    T = L // hop; correctness then requires every true length < L (one
+    spare hop row must exist past the longest utterance — guaranteed by
+    construction, since ``padded_samples(n) > n`` always).
+    """
     b, l_max = waveforms.shape
+    if l_max % (hop * multiple) == 0:
+        return waveforms.reshape(b, l_max // hop, hop)
     t = l_max // hop + 1
     t = -(-t // multiple) * multiple
     need = t * hop
@@ -364,6 +387,47 @@ def _finish(mel, lengths, p, normalize, pad_to_target, is_db):
         else:
             db = jnp.pad(db, ((0, 0), (0, 0), (0, target_len - t)))
     return db
+
+
+@functools.partial(jax.jit, static_argnames=("params_static", "out_dtype"))
+def _conv1_frontend_impl(waveforms, lengths, dft_cos, dft_sin, mel_fb,
+                         weo, params_static, out_dtype):
+    (n_fft, hop, n_mels, target_len, mode, eps, gmean, gstd) = params_static
+    p = FrontendParams(dft_cos, dft_sin, mel_fb, n_fft, hop, n_mels, 0,
+                       target_len, mode, eps, gmean, gstd)
+    from speech_intent_recognizer_tpu.ops import frontend_pallas as fp
+
+    pad = n_fft // 2
+    rows = waveform_rows(waveforms, hop, multiple=8)
+    left = waveforms[:, 1 : pad + 1][:, ::-1][:, None, :]
+    return fp.fused_frontend_conv1_pallas(
+        rows, lengths, left, p, weo, out_dtype=out_dtype)
+
+
+def log_mel_conv1_frontend(
+    waveforms: jax.Array,
+    lengths: jax.Array,
+    params: FrontendParams,
+    weo: jax.Array,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Fused front-end + first conv stage (Pallas; inference fast path).
+
+    Same waveform contract as :func:`log_mel_frontend`; returns the pooled
+    conv1 output (B, target_length // 2, (n_mels // 2) * C1) for the
+    ``CNNAudioGRU(conv1_external=True)`` variant.  ``weo`` comes from
+    ``ops.frontend_pallas.conv1_band_operands`` applied to the BN-folded
+    conv1 stage.  Supports exactly the fused-kernel geometry (torchaudio
+    mode, n_fft=1024, hop=512, n_mels=64).
+    """
+    if params.frontend != "torchaudio":
+        raise ValueError("conv1 frontend supports the torchaudio mode only")
+    static = (params.n_fft, params.hop_length, params.n_mels,
+              params.target_length, params.frontend, params.norm_eps,
+              params.global_mean, params.global_std)
+    return _conv1_frontend_impl(waveforms, lengths.astype(jnp.int32),
+                                params.dft_cos, params.dft_sin, params.mel_fb,
+                                weo, static, jnp.dtype(out_dtype))
 
 
 def log_mel_frontend(

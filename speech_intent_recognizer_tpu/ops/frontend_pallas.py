@@ -249,9 +249,14 @@ def _tail_vals_in_kernel(chunks_u, length, x0, hop):
     return jnp.where(jnp.logical_and(k2 >= 0, k2 < hop), y, 0.0)
 
 
-def _fused_kernel(lengths_ref, firsts_ref, rows_ref, left_ref,
-                  win_ref, rh_ref, rl_ref, fh_ref, fl_ref, out_ref, *,
-                  bu, t_k, t_out, hop, n_mels, normalize, eps, out_dtype):
+def _frontend_core(lengths_ref, firsts_ref, rows_ref, left_ref,
+                   win_ref, rh_ref, rl_ref, fh_ref, fl_ref, *,
+                   bu, t_k, hop, n_mels, normalize, eps):
+    """Shared kernel body: raw rows -> (db, mask), both (bu, t_k, n_mels_pad).
+
+    ``db`` is the normalized log-mel image (NOT yet masked); ``mask`` zeroes
+    padded frames and pad lanes.  Callers multiply and lay out / consume.
+    """
     lane = _LANE
     b_idx = pl.program_id(0)
     xr = rows_ref[...]  # (bu, t_k, hop) f32 raw waveform rows (zero-padded)
@@ -377,6 +382,16 @@ def _fused_kernel(lengths_ref, firsts_ref, rows_ref, left_ref,
             term = jnp.where(iota_u2 == u, (db - mean) * scale, 0.0)
             db_n = term if db_n is None else db_n + term
         db = db_n
+    return db, mask
+
+
+def _fused_kernel(lengths_ref, firsts_ref, rows_ref, left_ref,
+                  win_ref, rh_ref, rl_ref, fh_ref, fl_ref, out_ref, *,
+                  bu, t_k, t_out, hop, n_mels, normalize, eps, out_dtype):
+    db, mask = _frontend_core(
+        lengths_ref, firsts_ref, rows_ref, left_ref, win_ref, rh_ref, rl_ref,
+        fh_ref, fl_ref, bu=bu, t_k=t_k, hop=hop, n_mels=n_mels,
+        normalize=normalize, eps=eps)
     db = db * mask  # zero padded frames and pad lanes
     dbt = jnp.swapaxes(db, 1, 2)[:, :n_mels]  # (bu, n_mels, t_k) mel-major
     if t_out > t_k:
@@ -511,6 +526,225 @@ def _fused_operands(p: FrontendParams):
     window = p.dft_cos[:, 0]  # hann window (cos(0) column)
     win = window.reshape(blocks, 1, lane).astype(jnp.float32)
     return win, rh, rl, fh, fl
+
+
+# ---------------------------------------------------------------------------
+# v6: conv1 + ReLU + 2x2 max-pool fused INTO the frontend kernel.
+#
+# The model's conv stack is the fused step's bottleneck (61% at b1024) and
+# L1 is the worst offender: XLA materializes conv1's (B, 32, 64, 200)
+# activation in HBM (838 MB/batch) for a layer that is MXU-hostile as a
+# plain conv (Cin=1, 3x3).  Here L1 runs while the normalized (200, 64)
+# mel image is still in VMEM, as a *time-column banded GEMM*:
+#
+#   LHS (t_out, 256) = [prev-col mels | curr-col mels | next-col mels | 1]
+#     built with two static rolls (sublane +-1 for the time shifts, lane
+#     +64 to pack two 64-mel columns per 128-lane block; the constant 1
+#     lane carries the folded-BN bias through the GEMM)
+#   RHS: TWO (256, 1024) band matrices W_even / W_odd — W_even[r, m*32+c]
+#     holds conv kernel tap K[m_in - 2m + 1, dt + 1, 0, c] for r = (dt+1
+#     block, m_in lane); out-of-band taps are zero.  Splitting even/odd
+#     output mel rows means  max(z_even, z_odd)  IS the mel-direction
+#     2-pool with no lane compaction.
+#   ReLU commutes with max; the time-direction pool is one roll+max plus
+#   an exact 0/1 row-selection dot (rows 0,2,...,t_out-2).
+#
+# Output (B, t_out/2, 1024) with lane = m_pooled*32 + c_out — consumed by
+# the conv1-less CNNAudioGRU variant (models/cnn_gru.py, conv1_external),
+# which runs conv2/conv3 on (T, M) with spatially-transposed kernels.
+# Replaces the reference's models/models.py:10-13 first stage bit-for-bit
+# at bf16 precision (the production model's own compute dtype).
+# ---------------------------------------------------------------------------
+
+
+def _fused_conv1_kernel(lengths_ref, firsts_ref, rows_ref, left_ref,
+                        win_ref, rh_ref, rl_ref, fh_ref, fl_ref,
+                        weo_ref, sel_ref, out_ref, *,
+                        bu, t_k, t_out, hop, n_mels, normalize, eps,
+                        out_dtype):
+    db, mask = _frontend_core(
+        lengths_ref, firsts_ref, rows_ref, left_ref, win_ref, rh_ref, rl_ref,
+        fh_ref, fl_ref, bu=bu, t_k=t_k, hop=hop, n_mels=n_mels,
+        normalize=normalize, eps=eps)
+    db = db * mask  # (bu, t_k, n_mels_pad); pad lanes zero (roll relies on it)
+    n_out = weo_ref.shape[1] // 2
+    lanes = db.shape[2]
+    # Pad/trim every utterance's image to t_out rows, then flatten to one
+    # (bu*t_out, lanes) sheet so ALL per-utterance conv GEMMs fuse into a
+    # single MXU dot.  The time shifts become one sublane roll each, with
+    # utterance-boundary rows masked via a modular row index (roll wraps
+    # across utterances exactly at rows the mask zeroes).
+    if t_k >= t_out:
+        dbp = db[:, :t_out]
+    else:
+        dbp = jnp.concatenate(
+            [db, jnp.zeros((bu, t_out - t_k, lanes), jnp.float32)], axis=1)
+    xs = dbp.reshape(bu * t_out, lanes)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, xs.shape, 0)
+    lanei = jax.lax.broadcasted_iota(jnp.int32, xs.shape, 1)
+    rmod = jax.lax.rem(rowi, t_out)
+    prev = jnp.where(rmod == 0, 0.0, pltpu.roll(xs, 1, 0))
+    nxt = jnp.where(rmod == t_out - 1, 0.0,
+                    pltpu.roll(xs, bu * t_out - 1, 0))
+    # [prev mels | curr mels] in one block; bias rides lane n_mels of the
+    # second block as a constant 1 (W row 3*n_mels holds the folded-BN
+    # bias), so no separate broadcast-add is needed.
+    blk0 = prev + pltpu.roll(xs, n_mels, 1)
+    blk1 = jnp.where(lanei == n_mels, 1.0, nxt)
+    lhs = jnp.concatenate([blk0, blk1], axis=1).astype(jnp.bfloat16)
+    # ONE dot realizes conv1 for all bu utterances against [W_even | W_odd];
+    # max over the halves IS the mel-direction 2-pool, ReLU commutes.
+    z = jnp.dot(lhs, weo_ref[...], preferred_element_type=jnp.float32)
+    y = jnp.maximum(jnp.maximum(z[:, :n_out], z[:, n_out:]), 0.0)
+    # time-direction pool: rows t hold max(y[t], y[t+1]); odd rows are
+    # never selected, so the cross-utterance wrap at row bu*t_out-1 is
+    # harmless.  The selection dot keeps even rows (exact 0/1 matrix;
+    # values are bf16-bound anyway — the model consumes bf16 activations).
+    ymax = jnp.maximum(y, pltpu.roll(y, bu * t_out - 1, 0)).astype(
+        jnp.bfloat16)
+    for u in range(bu):
+        out = jnp.dot(sel_ref[...], ymax[u * t_out:(u + 1) * t_out],
+                      preferred_element_type=jnp.float32)
+        out_ref[u] = out.astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "t_out", "hop", "n_mels", "normalize", "eps", "out_dtype", "interpret"))
+def _fused_conv1_call(rows, lengths, firsts, left, win, rh, rl, fh, fl,
+                      weo, sel, t_out, hop, n_mels, normalize, eps,
+                      out_dtype, interpret):
+    b, t_k, _ = rows.shape
+    bu = _BU
+    b_pad = -(-b // bu) * bu
+    if b_pad != b:
+        pad = ((0, b_pad - b),)
+        rows = jnp.pad(rows, pad + ((0, 0), (0, 0)))
+        left = jnp.pad(left, pad + ((0, 0), (0, 0)))
+        lengths = jnp.pad(lengths, pad, constant_values=1)
+        firsts = jnp.pad(firsts, pad)
+    n_mels_pad = fh.shape[1]
+    t_pool = t_out // 2
+    n_out = weo.shape[1] // 2
+    kernel = functools.partial(
+        _fused_conv1_kernel, bu=bu, t_k=t_k, t_out=t_out, hop=hop,
+        n_mels=n_mels, normalize=normalize, eps=eps, out_dtype=out_dtype)
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i, *_: (0,) * len(shape), memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b_pad // bu,),
+        in_specs=[
+            pl.BlockSpec((bu, t_k, hop), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bu, 1, hop), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const((8, 1, _LANE)),          # window blocks
+            const((28 * _LANE, _LANE)),    # twiddled outer DFT rhs, hi
+            const((28 * _LANE, _LANE)),    # twiddled outer DFT rhs, lo
+            const((16 * _LANE, n_mels_pad)),  # permuted bin-doubled FB hi
+            const((16 * _LANE, n_mels_pad)),  # permuted bin-doubled FB lo
+            const((2 * _LANE, 2 * n_out)),  # conv bands [W_even | W_odd]
+            const((t_pool, t_out)),        # time-pool row selection
+        ],
+        out_specs=pl.BlockSpec((bu, t_pool, n_out), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b_pad, t_pool, n_out), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=b_pad * t_k * ((2 * 2 * _LANE + 6 * 4 * _LANE) * _LANE * 2
+                                 + 3 * 8 * _LANE * n_mels_pad * 2)
+            + b_pad * t_out * (2 * 2 * _LANE * n_out * 2
+                               + t_pool * n_out * 2),
+            bytes_accessed=(b_pad * t_k * hop * 4
+                            + (28 * _LANE * _LANE
+                               + 16 * _LANE * n_mels_pad) * 2 * 2
+                            + 2 * 2 * _LANE * n_out * 2
+                            + b_pad * t_pool * n_out * 4),
+            transcendentals=b_pad * t_k * n_mels_pad,
+        ),
+        interpret=interpret,
+    )(lengths, firsts, rows, left, win, rh, rl, fh, fl, weo, sel)
+    return out[:b]
+
+
+def conv1_band_operands(conv_kernel, conv_bias, n_mels: int = 64):
+    """Band-matrix RHS realizing conv1+bias as ONE GEMM.
+
+    Args:
+      conv_kernel: (3, 3, 1, C) HWIO flax conv kernel, spatial dims
+        (mel, time) — the BN-folded ``conv1`` kernel.
+      conv_bias: (C,) folded bias.
+
+    Returns ``weo``: (2*128, n_mels * C) bf16 = [W_even | W_odd] — rows are
+    LHS lanes ((dt+1)-block 64-mel layout, bias row at 3*n_mels), columns
+    (m_out//2)*C + c_out for even m_out in the left half, odd in the right;
+    ``max`` over the halves is the mel-direction 2-pool.
+    """
+    k = np.asarray(conv_kernel, np.float64)  # (3, 3, 1, C)
+    bias = np.asarray(conv_bias, np.float64)
+    c_out = k.shape[-1]
+    lane = _LANE
+    half = n_mels // 2
+    n_out = half * c_out
+    mats = []
+    for parity in (0, 1):
+        w = np.zeros((2 * lane, n_out), np.float64)
+        for mh in range(half):
+            m_out = 2 * mh + parity
+            for dm in (-1, 0, 1):
+                m_in = m_out + dm
+                if not 0 <= m_in < n_mels:
+                    continue
+                for dt in (-1, 0, 1):
+                    # LHS lane of x[m_in, t+dt]: dt=-1 -> lanes 0..63,
+                    # dt=0 -> 64..127, dt=+1 -> 128..191
+                    r = (dt + 1) * n_mels + m_in
+                    w[r, mh * c_out : (mh + 1) * c_out] = k[dm + 1, dt + 1, 0]
+        # bias enters via the constant-1 LHS lane: blk1's lane n_mels,
+        # i.e. overall lane 2*n_mels + n_mels = 192 for n_mels=64
+        for mh in range(half):
+            w[3 * n_mels, mh * c_out : (mh + 1) * c_out] = bias
+        mats.append(w.astype(np.float32))
+    return jnp.asarray(np.concatenate(mats, axis=1), jnp.bfloat16)
+
+
+def time_pool_selector(t_out: int) -> jax.Array:
+    """(t_out//2, t_out) 0/1 matrix selecting even rows (exact bf16)."""
+    sel = np.zeros((t_out // 2, t_out), np.float32)
+    sel[np.arange(t_out // 2), 2 * np.arange(t_out // 2)] = 1.0
+    return jnp.asarray(sel, jnp.bfloat16)
+
+
+def fused_frontend_conv1_pallas(wf_rows: jax.Array, lengths: jax.Array,
+                                left_row: jax.Array, p: FrontendParams,
+                                weo: jax.Array,
+                                normalize: bool = True,
+                                t_out: int | None = None,
+                                out_dtype=jnp.bfloat16) -> jax.Array:
+    """Fully fused front-end + conv1 stage: raw rows -> pooled L1 output.
+
+    Same input contract as :func:`fused_frontend_pallas`; ``weo`` from
+    :func:`conv1_band_operands`.  Emits (B, t_out//2, (n_mels//2) * C) with
+    lane = m_pooled * C + c_out — the input of the ``conv1_external``
+    CNNAudioGRU variant.
+    """
+    if p.n_fft != 2 * p.hop_length or p.n_fft != 8 * _LANE:
+        raise ValueError("fused kernel requires n_fft=1024, hop=512")
+    if p.n_mels != 64:
+        raise ValueError("fused conv1 kernel requires n_mels=64")
+    t_out = p.target_length if t_out is None else t_out
+    if t_out % 2:
+        raise ValueError("fused conv1 kernel requires even target_length")
+    win, rh, rl, fh, fl = _fused_operands(p)
+    sel = time_pool_selector(t_out)
+    interpret = jax.default_backend() != "tpu"
+    return _fused_conv1_call(
+        wf_rows, lengths.astype(jnp.int32), wf_rows[:, 0, 0], left_row,
+        win, rh, rl, fh, fl, weo, sel, t_out, p.hop_length,
+        p.n_mels, normalize, p.norm_eps, jnp.dtype(out_dtype), interpret)
 
 
 def fused_frontend_pallas(wf_rows: jax.Array, lengths: jax.Array,

@@ -149,6 +149,105 @@ class TestTrainStepEquivalence:
         np.testing.assert_allclose(j_logits, t_logits, rtol=2e-3, atol=2e-3)
         assert (np.argmax(j_logits, 1) == np.argmax(t_logits, 1)).all()
 
+    def test_full_loop_gradclip_eval_earlystop_matches_torch(self, batches):
+        """The FULL training-loop semantics (reference
+        ``scripts/train.py:164-302``), not just the optimizer step: multiple
+        epochs through the real ``Trainer.fit`` — shuffled batches,
+        grad-clip 1.0 (the ``configs/config.yaml:18`` key; realized as
+        global-norm clipping on both sides), interleaved per-epoch
+        validation, and the best-val/no-improve early-stop bookkeeping —
+        against a faithful torch replica fed the identical batch order.
+
+        Asserts per-epoch train losses, per-epoch val losses/accuracies,
+        and the final bookkeeping (best_val_acc, epochs_run) all match.
+        """
+        torch = pytest.importorskip("torch")
+        from speech_intent_recognizer_tpu.train.loop import pad_permutation
+
+        rng = np.random.default_rng(11)
+        n_train, n_val, epochs, seed = 32, 16, 3, 5
+        feats = rng.standard_normal((n_train, 64, 200)).astype(np.float32)
+        labels = rng.integers(0, NUM_CLASSES, n_train).astype(np.int64)
+        v_feats = rng.standard_normal((n_val, 64, 200)).astype(np.float32)
+        v_labels = rng.integers(0, NUM_CLASSES, n_val).astype(np.int64)
+        clip = 1.0
+
+        # Reproduce the exact batch order Trainer.fit will draw so the
+        # torch replica sees identical batches (n divisible by batch).
+        fit_rng = jax.random.key(seed)
+        perms = []
+        for epoch in range(epochs):
+            fit_rng, perm_key, _ = jax.random.split(fit_rng, 3)
+            perm_key = jax.random.fold_in(perm_key, epoch)
+            perm, _ = pad_permutation(perm_key, n_train, BATCH)
+            perms.append(np.asarray(perm))
+
+        # ---- torch replica of train.py:164-302 ----
+        torch.manual_seed(0)
+        t_model = _make_torch_model(torch)
+        init_state = {k: v.detach().numpy().copy()
+                      for k, v in t_model.state_dict().items()}
+        opt = torch.optim.Adam(t_model.parameters(), lr=LR, weight_decay=WD)
+        loss_fn = torch.nn.CrossEntropyLoss()
+        t_hist = []
+        t_best, t_no_improve, t_epochs_run = 0.0, 0, 0
+        patience = 5
+        for epoch in range(epochs):
+            t_model.train()
+            epoch_losses = []
+            for b in perms[epoch]:
+                x = torch.from_numpy(feats[b])
+                y = torch.from_numpy(labels[b])
+                opt.zero_grad()
+                loss = loss_fn(t_model(x), y)
+                loss.backward()
+                torch.nn.utils.clip_grad_norm_(t_model.parameters(), clip)
+                opt.step()
+                epoch_losses.append(float(loss.detach()) * len(b))
+            t_model.eval()
+            with torch.no_grad():
+                v_logits = t_model(torch.from_numpy(v_feats))
+                v_loss = float(loss_fn(v_logits, torch.from_numpy(v_labels)))
+                v_acc = float((v_logits.argmax(1).numpy()
+                               == v_labels).mean())
+            t_hist.append({"train_loss": sum(epoch_losses) / n_train,
+                           "val_loss": v_loss, "val_acc": v_acc})
+            if v_acc > t_best:
+                t_best, t_no_improve = v_acc, 0
+            else:
+                t_no_improve += 1
+            t_epochs_run = epoch + 1
+            if t_no_improve >= patience:
+                break
+
+        # ---- the real Trainer.fit ----
+        params, batch_stats = convert_torch_state_dict(init_state)
+        model = CNNAudioGRU(num_classes=NUM_CLASSES, dropout=0.0)
+        tx = create_optimizer(lr=LR, weight_decay=WD, grad_clip=clip)
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                           batch_stats=batch_stats,
+                           opt_state=tx.init(params), tx=tx)
+        cfg = Config.from_dict({
+            "num_labels": NUM_CLASSES, "epochs": epochs, "batch_size": BATCH,
+            "lr": LR, "weight_decay": WD, "grad_clip": clip, "bf16": False,
+            "use_augmentation": False, "use_mixup": False, "seed": seed,
+            "early_stop_patience": patience, "early_stop_delta": 0.0,
+        })
+        trainer = Trainer(model, cfg, tx=tx, num_classes=NUM_CLASSES)
+        state, result = trainer.fit(
+            state, jnp.asarray(feats), jnp.asarray(labels.astype(np.int32)),
+            jnp.asarray(v_feats), jnp.asarray(v_labels.astype(np.int32)),
+            log=lambda *_: None)
+
+        assert result.epochs_run == t_epochs_run
+        for got, want in zip(result.history, t_hist):
+            np.testing.assert_allclose(got["train_loss"], want["train_loss"],
+                                       rtol=3e-4, atol=3e-4)
+            np.testing.assert_allclose(got["val_loss"], want["val_loss"],
+                                       rtol=1e-3, atol=1e-3)
+            assert got["val_acc"] == pytest.approx(want["val_acc"], abs=1e-6)
+        assert result.best_val_acc == pytest.approx(t_best, abs=1e-6)
+
     def test_weight_decay_is_l2_in_gradient_not_adamw(self, batches):
         """One step with huge weight decay separates torch-Adam semantics
         (L2 added to the gradient, then scaled by the adaptive step) from

@@ -153,3 +153,65 @@ def test_masked_spec_embed_applied(rng):
             np.asarray(params["masked_spec_embed"]))
         want = t_model.encoder(proj).last_hidden_state.numpy()
     np.testing.assert_allclose(out_masked, want, rtol=1e-4, atol=1e-4)
+
+
+def test_local_pretrained_dir_load_seam(rng, tmp_path):
+    """The documented pretrained-load path end-to-end with a LOCAL
+    checkpoint: ``save_pretrained`` a torch base-variant ``Wav2Vec2Model``
+    to a directory, load it through
+    ``create_wav2vec_intent(model_name=<dir>)`` +
+    ``init_wav2vec`` (the exact seam a ``facebook/wav2vec2-base`` download
+    would use), and assert backbone hidden-state parity — leaving the
+    network download itself as the only untested step."""
+    from speech_intent_recognizer_tpu.models.wav2vec import (
+        create_wav2vec_intent, init_wav2vec)
+
+    config = small_wav2vec_base_config(hidden_size=64, num_layers=2)
+    t_model = _torch_backbone(config)
+    ckpt_dir = tmp_path / "wav2vec2-small-base"
+    t_model.save_pretrained(str(ckpt_dir))
+
+    model, pretrained = create_wav2vec_intent(5, model_name=str(ckpt_dir))
+    assert pretrained is not None, "local checkpoint dir was not loaded"
+    assert model.config.do_stable_layer_norm is False
+    variables = init_wav2vec(model, jax.random.key(0), input_length=4000,
+                             pretrained_params=pretrained)
+
+    x = _waveform(rng, (2, 4000))
+    with torch.no_grad():
+        want = t_model(torch.from_numpy(x)).last_hidden_state.numpy()
+    backbone = Wav2Vec2Backbone(model.config)
+    got = np.asarray(backbone.apply(
+        {"params": variables["params"]["wav2vec2"]}, jnp.asarray(x),
+        deterministic=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_convert_wav2vec_cli_roundtrip(rng, tmp_path):
+    """The user-facing converter CLI: HF checkpoint dir -> msgpack + config
+    sidecar -> ``Wav2VecPredictor.from_checkpoint`` serves it."""
+    from speech_intent_recognizer_tpu.cli.convert_wav2vec import main
+    from speech_intent_recognizer_tpu.infer.predict import Wav2VecPredictor
+
+    config = small_wav2vec_base_config(hidden_size=64, num_layers=2)
+    t_model = _torch_backbone(config)
+    ckpt_dir = tmp_path / "hf_ckpt"
+    t_model.save_pretrained(str(ckpt_dir))
+    out = tmp_path / "wav2vec_intent.msgpack"
+    rc = main(["--checkpoint", str(ckpt_dir), "--num_classes", "5",
+               "--output", str(out)])
+    assert rc == 0 and out.exists()
+    assert (tmp_path / "wav2vec_intent.json").exists()
+
+    import json
+
+    label_map_path = tmp_path / "label_map.json"
+    label_map_path.write_text(json.dumps(
+        {f"intent_{i}": i for i in range(5)}))
+    pred = Wav2VecPredictor.from_checkpoint(str(out), str(label_map_path))
+    x = _waveform(rng, (1, 4000))
+    buf = np.zeros((1, pred.audio_cfg.max_samples), np.float32)
+    buf[0, :4000] = x[0]
+    probs = pred.predict_waveform_batch(buf, np.asarray([4000], np.int32))
+    assert probs.shape == (1, 5)
+    np.testing.assert_allclose(probs.sum(axis=-1), 1.0, rtol=1e-4)
