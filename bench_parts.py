@@ -49,12 +49,16 @@ def main():
     from speech_intent_recognizer_tpu.utils.platform import configure_jax
     configure_jax()
     import jax.numpy as jnp
+    from flax import linen as nn
 
     from speech_intent_recognizer_tpu.config.schema import AudioConfig
     from speech_intent_recognizer_tpu.models.cnn_gru import (
-        CNNAudioGRU, fold_batchnorm, init_model)
+        CNNAudioGRU, conv1_external_params, fold_batchnorm, init_model)
     from speech_intent_recognizer_tpu.ops.frontend_jax import (
-        log_mel_frontend, make_frontend_params)
+        log_mel_conv1_frontend, log_mel_frontend, make_frontend_params,
+        padded_samples)
+    from speech_intent_recognizer_tpu.ops.frontend_pallas import (
+        conv1_band_operands)
 
     print("backend:", jax.default_backend(), jax.devices()[0])
     audio_cfg = AudioConfig()
@@ -62,19 +66,32 @@ def main():
     model = CNNAudioGRU(num_classes=31, compute_dtype=jnp.bfloat16)
     model_folded = CNNAudioGRU(num_classes=31, compute_dtype=jnp.bfloat16,
                                fold_bn=True)
+    model_var = CNNAudioGRU(num_classes=31, compute_dtype=jnp.bfloat16,
+                            fold_bn=True, conv1_external=True)
     cpu0 = jax.devices("cpu")[0]
     with jax.default_device(cpu0):
         variables = init_model(
             model, jax.random.key(0),
             (1, audio_cfg.n_mels, audio_cfg.mel_spec_length))
-        folded = {"params": fold_batchnorm(variables["params"],
-                                           variables["batch_stats"])}
-    variables = jax.device_put(variables, jax.devices()[0])
-    folded = jax.device_put(folded, jax.devices()[0])
+        folded_p = fold_batchnorm(variables["params"],
+                                  variables["batch_stats"])
+        var_p, c1k, c1b = conv1_external_params(folded_p)
+        folded = {"params": folded_p}
+        var_vars = {"params": var_p}
+    dev = jax.devices()[0]
+    variables = jax.device_put(variables, dev)
+    folded = jax.device_put(folded, dev)
+    var_vars = jax.device_put(var_vars, dev)
+    weo = jax.device_put(conv1_band_operands(c1k, c1b, audio_cfg.n_mels),
+                         dev)
 
     rng = np.random.default_rng(0)
+    buf_width = padded_samples(audio_cfg.max_samples, audio_cfg.hop_length)
     for batch in args.batches:
-        wf = jnp.asarray(_speech_like(rng, (batch, audio_cfg.max_samples)))
+        wav_np = np.zeros((batch, buf_width), np.float32)
+        wav_np[:, :audio_cfg.max_samples] = _speech_like(
+            rng, (batch, audio_cfg.max_samples))
+        wf = jnp.asarray(wav_np)
         ln = jnp.full((batch,), audio_cfg.max_samples, jnp.int32)
         feats = log_mel_frontend(wf, ln, fe, backend="xla")
         feats_bf16 = feats.astype(jnp.bfloat16)
@@ -120,6 +137,43 @@ def main():
                                  out_dtype=jnp.bfloat16)
             return jnp.sum(model_folded.apply(folded, f, train=False)) + s
 
+        # ---- conv1-fused production path + stage isolation ----
+        def fe_conv1(wf, ln, s):
+            f = log_mel_conv1_frontend(wf, ln, fe, weo)
+            return f[0, 0, 0].astype(jnp.float32) + s
+
+        def fused_conv1(wf, ln, s):
+            f = log_mel_conv1_frontend(wf, ln, fe, weo)
+            return jnp.sum(model_var.apply(var_vars, f, train=False)) + s
+
+        def model_var_fwd(x, s):
+            return jnp.sum(model_var.apply(var_vars, x, train=False)) + s
+
+        pooled = log_mel_conv1_frontend(wf, ln, fe, weo)
+
+        # isolated conv2 / conv3 stages of the variant (XLA convs) — the
+        # decision input for a Pallas conv2/3 kernel (VERDICT r2 item 4)
+        k2 = jnp.asarray(var_vars["params"]["conv2"]["kernel"], jnp.bfloat16)
+        b2 = jnp.asarray(var_vars["params"]["conv2"]["bias"], jnp.bfloat16)
+        k3 = jnp.asarray(var_vars["params"]["conv3"]["kernel"], jnp.bfloat16)
+        b3 = jnp.asarray(var_vars["params"]["conv3"]["bias"], jnp.bfloat16)
+
+        def conv_stage(x, k, b):
+            z = jax.lax.conv_general_dilated(
+                x, k, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            z = nn.relu(z + b)
+            return nn.max_pool(z, (2, 2), strides=(2, 2))
+
+        x2 = pooled.reshape(batch, 100, 32, 32)
+        x3 = jax.jit(lambda x: conv_stage(x, k2, b2))(x2)
+
+        def conv2_only(x, s):
+            return conv_stage(x, k2, b2)[0, 0, 0, 0].astype(jnp.float32) + s
+
+        def conv3_only(x, s):
+            return conv_stage(x, k3, b3)[0, 0, 0, 0].astype(jnp.float32) + s
+
         rows = [
             ("frontend xla f32", jax.jit(fe_xla), (wf, ln)),
             ("frontend xla bf16out", jax.jit(fe_xla_bf16), (wf, ln)),
@@ -131,6 +185,11 @@ def main():
             ("fused r1 (xla+bn)", jax.jit(fused_old), (wf, ln)),
             ("fused xla+folded", jax.jit(fused_xla_folded), (wf, ln)),
             ("fused pallas+folded", jax.jit(fused_new), (wf, ln)),
+            ("frontend+conv1 kernel", jax.jit(fe_conv1), (wf, ln)),
+            ("model variant (conv2..)", jax.jit(model_var_fwd), (pooled,)),
+            ("conv2 stage only", jax.jit(conv2_only), (x2,)),
+            ("conv3 stage only", jax.jit(conv3_only), (x3,)),
+            ("fused conv1+variant", jax.jit(fused_conv1), (wf, ln)),
         ]
         print(f"\n=== batch {batch} ===")
         for name, fn, a in rows:

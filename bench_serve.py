@@ -86,6 +86,58 @@ def main() -> int:
     results = len(pending)
 
     capacity = total_audio / wall  # audio seconds processed per wall second
+
+    # ---- decomposition: what limits the number above? ----------------
+    # (a) per-chunk HOST cost, split into its parts.  The capacity run is
+    # host-feed-bound on this 1-core container; these numbers let a reader
+    # project the ceiling for a normal serving host.
+    import time as _time
+
+    from speech_intent_recognizer_tpu.infer.streaming import (
+        StreamingFeaturizer)
+    from speech_intent_recognizer_tpu.infer.vad import EnergyVAD
+
+    r = np.random.default_rng(1)
+    test_chunks = [
+        (0.2 * np.sin(2 * np.pi * 300 * np.arange(chunk) / sr)
+         + 0.02 * r.standard_normal(chunk)).astype(np.float32)
+        for _ in range(64)]
+
+    vad = EnergyVAD(0.01)
+    t0 = _time.perf_counter()
+    for _rep in range(8):
+        for c in test_chunks:
+            vad.is_speech(c)
+    vad_ms = (_time.perf_counter() - t0) / (8 * len(test_chunks)) * 1e3
+
+    fz = StreamingFeaturizer(audio_cfg=predictor.audio_cfg)
+    t0 = _time.perf_counter()
+    for _rep in range(8):
+        fz.reset()
+        for c in test_chunks:
+            fz.feed(c)
+    feat_ms = (_time.perf_counter() - t0) / (8 * len(test_chunks)) * 1e3
+
+    chunks_fed = total_audio * sr / chunk
+    feed_ms = feed_wall / max(chunks_fed, 1) * 1e3  # full feed() incl. above
+
+    # (b) CHIP-side ceiling: end-of-utterance device calls (the only chip
+    # work per utterance) dispatched back-to-back with zero host featurize
+    # (the session state is reused), drained in one batched fetch.
+    ceiling_rec = sessions[0]
+    n_fin = 200
+    pend2 = [ceiling_rec._fused_finalize() for _ in range(4)]  # warm
+    PendingResult.get_all(pend2)
+    t0 = _time.perf_counter()
+    pend2 = [ceiling_rec._fused_finalize() for _ in range(n_fin)]
+    PendingResult.get_all(pend2)
+    fin_per_s = n_fin / (_time.perf_counter() - t0)
+    # one utterance per session every (audio secs / classified utterance)
+    utt_period = total_audio / max(results, 1)
+    chip_ceiling = fin_per_s * utt_period
+    # host ceiling: a real-time session produces sr/chunk chunks per second
+    host_ceiling = 1e3 / max(feed_ms * (sr / chunk), 1e-9)
+
     print(json.dumps({
         "metric": "streaming_serving_capacity",
         "value": round(capacity, 1),
@@ -95,7 +147,20 @@ def main() -> int:
                    "sessions_simulated": n_sessions,
                    "wall_seconds": round(wall, 1),
                    "feed_seconds": round(feed_wall, 1),
-                   "result_drain_seconds": round(wall - feed_wall, 1)},
+                   "result_drain_seconds": round(wall - feed_wall, 1),
+                   "host_ms_per_chunk": {
+                       "vad": round(vad_ms, 4),
+                       "featurize": round(feat_ms, 4),
+                       "feed_total": round(feed_ms, 4)},
+                   "chip_finalizes_per_s": round(fin_per_s, 1),
+                   "chip_ceiling_sessions": round(chip_ceiling, 1),
+                   "host_ceiling_sessions": round(host_ceiling, 1),
+                   # NB: the "chip" rate is measured through the remote
+                   # accelerator link, so it is dominated by per-dispatch
+                   # cost — a lower bound on the real chip-compute ceiling
+                   "limiting_resource": (
+                       "host" if host_ceiling < chip_ceiling else
+                       "chip-dispatch")},
     }))
     return 0
 
