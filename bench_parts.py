@@ -53,7 +53,10 @@ def main():
 
     from speech_intent_recognizer_tpu.config.schema import AudioConfig
     from speech_intent_recognizer_tpu.models.cnn_gru import (
-        CNNAudioGRU, conv1_external_params, fold_batchnorm, init_model)
+        CNNAudioGRU, conv1_external_params, conv_external_params,
+        fold_batchnorm, init_model)
+    from speech_intent_recognizer_tpu.ops.conv23_pallas import (
+        conv23_operands, conv23_pallas)
     from speech_intent_recognizer_tpu.ops.frontend_jax import (
         log_mel_conv1_frontend, log_mel_frontend, make_frontend_params,
         padded_samples)
@@ -68,6 +71,8 @@ def main():
                                fold_bn=True)
     model_var = CNNAudioGRU(num_classes=31, compute_dtype=jnp.bfloat16,
                             fold_bn=True, conv1_external=True)
+    model_head = CNNAudioGRU(num_classes=31, compute_dtype=jnp.bfloat16,
+                             fold_bn=True, conv_external=True)
     cpu0 = jax.devices("cpu")[0]
     with jax.default_device(cpu0):
         variables = init_model(
@@ -76,14 +81,19 @@ def main():
         folded_p = fold_batchnorm(variables["params"],
                                   variables["batch_stats"])
         var_p, c1k, c1b = conv1_external_params(folded_p)
+        head_p, _, (k2, b2), (k3, b3) = conv_external_params(folded_p)
         folded = {"params": folded_p}
         var_vars = {"params": var_p}
+        head_vars = {"params": head_p}
     dev = jax.devices()[0]
     variables = jax.device_put(variables, dev)
     folded = jax.device_put(folded, dev)
     var_vars = jax.device_put(var_vars, dev)
+    head_vars = jax.device_put(head_vars, dev)
     weo = jax.device_put(conv1_band_operands(c1k, c1b, audio_cfg.n_mels),
                          dev)
+    w2, b2t, w3, b3t = (jax.device_put(a, dev)
+                        for a in conv23_operands(k2, b2, k3, b3))
 
     rng = np.random.default_rng(0)
     buf_width = padded_samples(audio_cfg.max_samples, audio_cfg.hop_length)
@@ -174,6 +184,21 @@ def main():
         def conv3_only(x, s):
             return conv_stage(x, k3, b3)[0, 0, 0, 0].astype(jnp.float32) + s
 
+        # ---- conv23 Pallas kernel + head-only model --------------------
+        def conv23_only(x, s):
+            f = conv23_pallas(x, w2, b2t, w3, b3t)
+            return f[0, 0, 0].astype(jnp.float32) + s
+
+        def head_fwd(x, s):
+            return jnp.sum(model_head.apply(head_vars, x, train=False)) + s
+
+        def fused_all(wf, ln, s):
+            p = log_mel_conv1_frontend(wf, ln, fe, weo)
+            f = conv23_pallas(p, w2, b2t, w3, b3t)
+            return jnp.sum(model_head.apply(head_vars, f, train=False)) + s
+
+        sheet = conv23_pallas(pooled, w2, b2t, w3, b3t)
+
         rows = [
             ("frontend xla f32", jax.jit(fe_xla), (wf, ln)),
             ("frontend xla bf16out", jax.jit(fe_xla_bf16), (wf, ln)),
@@ -190,6 +215,9 @@ def main():
             ("conv2 stage only", jax.jit(conv2_only), (x2,)),
             ("conv3 stage only", jax.jit(conv3_only), (x3,)),
             ("fused conv1+variant", jax.jit(fused_conv1), (wf, ln)),
+            ("conv23 kernel only", jax.jit(conv23_only), (pooled,)),
+            ("head model (gru+attn)", jax.jit(head_fwd), (sheet,)),
+            ("fused conv-all+head", jax.jit(fused_all), (wf, ln)),
         ]
         print(f"\n=== batch {batch} ===")
         for name, fn, a in rows:

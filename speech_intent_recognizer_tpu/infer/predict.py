@@ -52,6 +52,10 @@ class Predictor:
         # _maybe_enable_conv1_fusion); batch waveform inference only — the
         # streaming/feature paths keep the standard model.
         self._conv1 = None
+        # (head_model, head_variables, weo, (w2, b2t, w3, b3t)) when the
+        # conv2/conv3 stages also run in the Pallas conv23 kernel — the
+        # whole conv stack then lives in kernels and the model is GRU+head.
+        self._conv23 = None
 
     @classmethod
     def from_checkpoint(cls, model_path: str, label_map_path: str,
@@ -112,9 +116,60 @@ class Predictor:
                               conv1_external=True)
         weo = conv1_band_operands(c1k, c1b, cfg.n_mels)
         self._conv1 = (variant, {"params": var_params}, weo)
+        # Optionally conv2/conv3 move into the Pallas conv23 kernel too
+        # (opt-in via enable_conv23_kernel(); measured net-neutral vs the
+        # XLA conv2/conv3 of the conv1_external variant at b1024 — see
+        # BENCH_NOTES.md round 3 — so the variant path stays the default)
+        self._conv23_available = (
+            np.asarray(folded_params["conv2"]["kernel"]).shape
+            == (3, 3, 32, 64)
+            and np.asarray(folded_params["conv3"]["kernel"]).shape
+            == (3, 3, 64, 128)
+            and cfg.mel_spec_length % 4 == 0)
+        self._folded_for_conv23 = folded_params if self._conv23_available \
+            else None
+
+    def enable_conv23_kernel(self) -> None:
+        """Switch the batch waveform path to the full conv-stack-in-kernels
+        configuration (frontend+conv1 kernel -> conv23 kernel -> GRU head).
+        Parity-tested; throughput-neutral vs the default at b1024."""
+        if not getattr(self, "_conv23_available", False) \
+                or self._conv1 is None:
+            raise ValueError("conv23 kernel requires the reference "
+                             "geometry and channels (32, 64, 128)")
+        from speech_intent_recognizer_tpu.models.cnn_gru import (
+            conv_external_params)
+        from speech_intent_recognizer_tpu.ops.conv23_pallas import (
+            conv23_operands)
+
+        weo = self._conv1[2]
+        head_params, _, (k2, b2), (k3, b3) = conv_external_params(
+            self._folded_for_conv23)
+        head = CNNAudioGRU(num_classes=self.model.num_classes,
+                           compute_dtype=jnp.bfloat16, fold_bn=True,
+                           conv_external=True)
+        self._conv23 = (head, {"params": head_params}, weo,
+                        conv23_operands(k2, b2, k3, b3))
+        self._fn = None  # rebuild the fused path on next use
 
     def _build(self):
         fe = self.frontend_params
+        if self._conv23 is not None:
+            from speech_intent_recognizer_tpu.ops.conv23_pallas import (
+                conv23_pallas)
+            from speech_intent_recognizer_tpu.ops.frontend_jax import (
+                log_mel_conv1_frontend)
+
+            head, head_vars, weo, (w2, b2t, w3, b3t) = self._conv23
+
+            @jax.jit
+            def fused_conv23(variables, waveforms, lengths):
+                pooled = log_mel_conv1_frontend(waveforms, lengths, fe, weo)
+                feats = conv23_pallas(pooled, w2, b2t, w3, b3t)
+                logits = head.apply(variables, feats, train=False)
+                return jax.nn.softmax(logits, axis=-1)
+
+            return fused_conv23, head_vars
         if self._conv1 is not None:
             from speech_intent_recognizer_tpu.ops.frontend_jax import (
                 log_mel_conv1_frontend)

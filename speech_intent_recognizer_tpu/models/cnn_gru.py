@@ -169,9 +169,16 @@ class CNNAudioGRU(nn.Module):
     # conv2/conv3 operate on (T, M) with spatially-transposed kernels (see
     # conv1_external_params).  Requires fold_bn.
     conv1_external: bool = False
+    # Inference variant with the ENTIRE conv stack external (conv1 in the
+    # frontend kernel + ops/conv23_pallas for conv2/conv3): input is the
+    # conv23 kernel's (B, T/8, (n_mels/8)*C3) sheet, lane = m*C3 + c; this
+    # model is GRU + attention + head only.  Requires fold_bn.
+    conv_external: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.conv_external:
+            return self._forward_conv_external(x, train)
         if self.conv1_external:
             return self._forward_conv1_external(x, train)
         # Accept (B, n_mels, T) or (B, 1, n_mels, T) like the reference
@@ -224,6 +231,24 @@ class CNNAudioGRU(nn.Module):
             x = nn.relu(x)
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
         # (B, T', M', C) -> (B, T', C * M') channel-major (models.py:54-57)
+        b, t, m, c = x.shape
+        x = jnp.transpose(x, (0, 1, 3, 2)).reshape(b, t, c * m)
+        return self._head(x, train)
+
+    def _forward_conv_external(self, x, train: bool):
+        """GRU + attention + head only, for the conv23 kernel's output.
+
+        ``x``: (B, T'', M''*C3) with lane = m*C3 + c (the
+        ``ops.conv23_pallas`` layout), or already (B, T'', M'', C3).
+        """
+        if not self.fold_bn:
+            raise ValueError("conv_external requires fold_bn=True")
+        c3 = self.conv_channels[2]
+        if x.ndim == 3:
+            b, t, mc = x.shape
+            x = x.reshape(b, t, mc // c3, c3)
+        x = x.astype(self.compute_dtype)
+        # channel-major flatten (models.py:54-57), as in the other variants
         b, t, m, c = x.shape
         x = jnp.transpose(x, (0, 1, 3, 2)).reshape(b, t, c * m)
         return self._head(x, train)
@@ -318,3 +343,22 @@ def conv1_external_params(folded_params: dict):
             out[name] = p
     c1 = folded_params["conv1"]
     return out, jnp.asarray(c1["kernel"]), jnp.asarray(c1["bias"])
+
+
+def conv_external_params(folded_params: dict):
+    """Split BN-folded params for the fully-conv-external inference variant.
+
+    Returns ``(head_params, (k1, b1), (k2, b2), (k3, b3))``: the
+    ``CNNAudioGRU(conv_external=True)`` tree (GRU/attention/fc only) plus
+    the three folded conv stages in their original orientation — conv1 for
+    ``ops.frontend_pallas.conv1_band_operands``, conv2/conv3 for
+    ``ops.conv23_pallas.conv23_operands``.
+    """
+    head = {k: v for k, v in folded_params.items()
+            if not k.startswith("conv")}
+
+    def kb(name):
+        p = folded_params[name]
+        return jnp.asarray(p["kernel"]), jnp.asarray(p["bias"])
+
+    return head, kb("conv1"), kb("conv2"), kb("conv3")

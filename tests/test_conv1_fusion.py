@@ -145,6 +145,7 @@ class TestConv1Stage:
 
         pred_std = Predictor.from_checkpoint(str(ckpt), str(lm_path))
         pred_std._conv1 = None  # force the standard path
+        pred_std._conv23 = None
         want = pred_std.predict_waveform_batch(buf, ln)
         assert (np.argmax(probs, -1) == np.argmax(want, -1)).all()
         np.testing.assert_allclose(probs, want, atol=2e-2)
