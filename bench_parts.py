@@ -42,6 +42,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, nargs="+", default=[256, 512])
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--only", type=str, default=None,
+                    help="run only stages whose name contains this substring")
     args = ap.parse_args()
 
     import jax
@@ -71,6 +73,9 @@ def main():
                                fold_bn=True)
     model_var = CNNAudioGRU(num_classes=31, compute_dtype=jnp.bfloat16,
                             fold_bn=True, conv1_external=True)
+    model_var_gp = CNNAudioGRU(num_classes=31, compute_dtype=jnp.bfloat16,
+                               fold_bn=True, conv1_external=True,
+                               gru_impl="pallas")
     model_head = CNNAudioGRU(num_classes=31, compute_dtype=jnp.bfloat16,
                              fold_bn=True, conv_external=True)
     cpu0 = jax.devices("cpu")[0]
@@ -159,6 +164,13 @@ def main():
         def model_var_fwd(x, s):
             return jnp.sum(model_var.apply(var_vars, x, train=False)) + s
 
+        def model_var_gp_fwd(x, s):
+            return jnp.sum(model_var_gp.apply(var_vars, x, train=False)) + s
+
+        def fused_conv1_gp(wf, ln, s):
+            f = log_mel_conv1_frontend(wf, ln, fe, weo)
+            return jnp.sum(model_var_gp.apply(var_vars, f, train=False)) + s
+
         pooled = log_mel_conv1_frontend(wf, ln, fe, weo)
 
         # isolated conv2 / conv3 stages of the variant (XLA convs) — the
@@ -215,10 +227,14 @@ def main():
             ("conv2 stage only", jax.jit(conv2_only), (x2,)),
             ("conv3 stage only", jax.jit(conv3_only), (x3,)),
             ("fused conv1+variant", jax.jit(fused_conv1), (wf, ln)),
+            ("model variant gruP", jax.jit(model_var_gp_fwd), (pooled,)),
+            ("fused conv1+var gruP", jax.jit(fused_conv1_gp), (wf, ln)),
             ("conv23 kernel only", jax.jit(conv23_only), (pooled,)),
             ("head model (gru+attn)", jax.jit(head_fwd), (sheet,)),
             ("fused conv-all+head", jax.jit(fused_all), (wf, ln)),
         ]
+        if args.only:
+            rows = [r for r in rows if args.only in r[0]]
         print(f"\n=== batch {batch} ===")
         for name, fn, a in rows:
             try:
