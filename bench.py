@@ -60,8 +60,12 @@ def main() -> int:
     base = CNNAudioGRU(num_classes=31, compute_dtype=jnp.bfloat16)
     model = CNNAudioGRU(num_classes=31, compute_dtype=jnp.bfloat16,
                         fold_bn=True)
+    # the production recurrence: the time-blocked Pallas GRU kernel on TPU
+    # (what Predictor ships — see infer/predict._default_gru_impl)
+    gru_impl = "pallas" if jax.default_backend() == "tpu" else "scan"
     variant = CNNAudioGRU(num_classes=31, compute_dtype=jnp.bfloat16,
-                          fold_bn=True, conv1_external=True)
+                          fold_bn=True, conv1_external=True,
+                          gru_impl=gru_impl)
     # init on CPU (skips a large one-off accelerator compile), then upload
     try:
         cpu0 = jax.devices("cpu")[0]

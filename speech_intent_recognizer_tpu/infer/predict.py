@@ -34,6 +34,16 @@ logger = logging.getLogger(__name__)
 _AUDIO_EXTS = (".wav", ".mp3", ".flac")
 
 
+def _default_gru_impl() -> str:
+    """Recurrence implementation for the batch inference variants.
+
+    The Pallas time-blocked GRU kernel (``ops/gru_pallas.py``) beats the
+    unrolled ``lax.scan`` on real TPU hardware (6.22 vs 6.36 ms variant
+    forward at b1024 — BENCH_NOTES.md round 3) and is parity-tested; off
+    TPU it would run in the slow interpreter, so CPU keeps the scan."""
+    return "pallas" if jax.default_backend() == "tpu" else "scan"
+
+
 class Predictor:
     """End-to-end (waveform -> intent) predictor with a fused jitted path."""
 
@@ -113,7 +123,8 @@ class Predictor:
         var_params, c1k, c1b = conv1_external_params(folded_params)
         variant = CNNAudioGRU(num_classes=self.model.num_classes,
                               compute_dtype=jnp.bfloat16, fold_bn=True,
-                              conv1_external=True)
+                              conv1_external=True,
+                              gru_impl=_default_gru_impl())
         weo = conv1_band_operands(c1k, c1b, cfg.n_mels)
         self._conv1 = (variant, {"params": var_params}, weo)
         # Optionally conv2/conv3 move into the Pallas conv23 kernel too
@@ -147,7 +158,8 @@ class Predictor:
             self._folded_for_conv23)
         head = CNNAudioGRU(num_classes=self.model.num_classes,
                            compute_dtype=jnp.bfloat16, fold_bn=True,
-                           conv_external=True)
+                           conv_external=True,
+                           gru_impl=_default_gru_impl())
         self._conv23 = (head, {"params": head_params}, weo,
                         conv23_operands(k2, b2, k3, b3))
         self._fn = None  # rebuild the fused path on next use

@@ -15,17 +15,22 @@ the projections) match :class:`models.cnn_gru.TorchGRU` — parity tested.
 Forward-only (no custom VJP): selectable via ``gru_impl="pallas"``; training
 keeps the differentiable `lax.scan` implementation.
 
-The first revision tiled the BATCH and gave each grid program the whole
-sequence (TILE_B=32 — the (2, T, 32, 3H) gx block was the VMEM limit).
-Grid programs execute sequentially per core, so that ran 25·(B/32) tiny
-M=32 dots back-to-back: measured **no net speedup** (2.18 vs 2.17 ms full
-model at b256).  This revision tiles TIME instead: grid = (batch tiles, T),
-each grid step consumes one timestep's (2, TILE_B, 3H) gx slice — the
-Pallas pipeline double-buffers the next step's DMA behind the current
-step's compute — and the hidden state persists in VMEM scratch across the
-time sweep (re-zeroed at t == 0).  The batch tile grows to 512, so the
-serial chain is 25·(B/512) well-shaped (512, H) x (H, 3H) dots instead of
-XLA's 25 separate HLO steps with their scheduling gaps.
+Revision history (each measured on v5e, full model at b256/b1024):
+
+* rev 1 tiled the BATCH, whole sequence per program (TILE_B=32, VMEM
+  limit) — 25·(B/32) tiny M=32 dots back-to-back, **no net speedup**
+  (2.18 vs 2.17 ms at b256).
+* rev 2 tiled TIME: grid = (batch tiles, T), one timestep per grid step,
+  TILE_B=512, fp32 operands — the pipeline double-buffers the next step's
+  gx DMA behind compute, hidden state persists in VMEM scratch.  Parity
+  but still neutral (the per-step grid + DMA bookkeeping ate the win).
+* rev 3 (this one) blocks TIME (_TILE_T timesteps per grid step,
+  unrolled straight-line per-direction code) and keeps the caller's bf16
+  for the gx/out DMAs and the MXU operands (gate math fp32): variant
+  forward 6.22 vs 6.36 ms scan, fused e2e 11.64 vs 11.96 ms at b1024 —
+  the first net win; production default for the batch inference path.
+  TILE_B=1024/512 and _TILE_T=25 (whole sequence, raised VMEM limit)
+  all measured slightly worse — see BENCH_NOTES.md round 3.
 """
 
 from __future__ import annotations
@@ -37,21 +42,29 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_TILE_B = 512  # batch rows per grid program (gx slices are double-buffered)
+_TILE_B = 256  # batch rows per grid program (gx slices are double-buffered;
+               # measured best on v5e at b1024: 512/1024 tiles and a
+               # 25-step time block were all slightly worse — see
+               # BENCH_NOTES.md round 3)
+_TILE_T = 5    # timesteps per grid program (amortizes per-step grid cost)
 
 
-def _gru_layer_kernel(gx_ref, w_ref, bn_ref, out_ref, h_scratch):
-    """One timestep, both directions, for one batch tile.
+def _gru_layer_kernel(gx_ref, w_ref, bn_ref, out_ref, h_scratch, *,
+                      tile_t: int):
+    """``tile_t`` timesteps, both directions, for one batch tile.
 
-    gx_ref: (2, 1, TILE_B, 3H) — this step's input projections with b_ih
-      and the r/z parts of b_hh folded in (the n-gate's b_hn must stay
-      INSIDE the ``r * (...)`` term — PyTorch double-bias semantics),
-      index 0 forward time order, index 1 reversed.
+    gx_ref: (2, tile_t, TILE_B, 3H) — input projections with b_ih and the
+      r/z parts of b_hh folded in (the n-gate's b_hn must stay INSIDE the
+      ``r * (...)`` term — PyTorch double-bias semantics), index 0 forward
+      time order, index 1 reversed.
     w_ref: (2, H, 3H) — recurrent weights (transposed), per direction.
     bn_ref: (2, 1, H) — the n-gate recurrent bias b_hn per direction.
-    out_ref: (2, 1, TILE_B, H) — this step's hidden states; direction 1 is
-      in reversed time order (flipped back outside).
+    out_ref: (2, tile_t, TILE_B, H) — hidden states; direction 1 is in
+      reversed time order (flipped back outside).
     h_scratch: (2, TILE_B, H) f32, persistent across the time sweep.
+
+    The directions are processed as straight-line per-direction code (no
+    (2, ...) leading-dim elementwise ops — those relayout on Mosaic).
     """
     hidden = w_ref.shape[1]
 
@@ -59,57 +72,74 @@ def _gru_layer_kernel(gx_ref, w_ref, bn_ref, out_ref, h_scratch):
     def _init():
         h_scratch[...] = jnp.zeros_like(h_scratch)
 
-    h = h_scratch[...]
-    gh0 = jnp.dot(h[0], w_ref[0], preferred_element_type=jnp.float32)
-    gh1 = jnp.dot(h[1], w_ref[1], preferred_element_type=jnp.float32)
-    gh = jnp.stack([gh0, gh1], axis=0)
-    gx = gx_ref[:, 0].astype(jnp.float32)
-    r = jax.nn.sigmoid(gx[..., :hidden] + gh[..., :hidden])
-    z = jax.nn.sigmoid(gx[..., hidden : 2 * hidden]
-                       + gh[..., hidden : 2 * hidden])
-    n = jnp.tanh(gx[..., 2 * hidden :]
-                 + r * (gh[..., 2 * hidden :] + bn_ref[...]))
-    h_new = (1.0 - z) * n + z * h
-    h_scratch[...] = h_new
-    out_ref[:, 0] = h_new.astype(out_ref.dtype)
+    def gates(gx, gh, h, bn):
+        r = jax.nn.sigmoid(gx[:, :hidden] + gh[:, :hidden])
+        z = jax.nn.sigmoid(gx[:, hidden:2 * hidden]
+                           + gh[:, hidden:2 * hidden])
+        n = jnp.tanh(gx[:, 2 * hidden:] + r * (gh[:, 2 * hidden:] + bn))
+        return (1.0 - z) * n + z * h
+
+    op_t = w_ref.dtype
+    h0 = h_scratch[0]
+    h1 = h_scratch[1]
+    for t in range(tile_t):
+        gh0 = jnp.dot(h0.astype(op_t), w_ref[0],
+                      preferred_element_type=jnp.float32)
+        gh1 = jnp.dot(h1.astype(op_t), w_ref[1],
+                      preferred_element_type=jnp.float32)
+        h0 = gates(gx_ref[0, t].astype(jnp.float32), gh0, h0, bn_ref[0])
+        h1 = gates(gx_ref[1, t].astype(jnp.float32), gh1, h1, bn_ref[1])
+        out_ref[0, t] = h0.astype(out_ref.dtype)
+        out_ref[1, t] = h1.astype(out_ref.dtype)
+    h_scratch[0] = h0
+    h_scratch[1] = h1
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _gru_layer_call(gx, w, bn, interpret):
-    """gx: (2, T, B, 3H); w: (2, H, 3H); bn: (2, 1, H) -> (2, T, B, H)."""
+    """gx: (2, T, B, 3H); w: (2, H, 3H); bn: (2, 1, H) -> (2, T, B, H).
+
+    Keeps the caller's dtype for the MXU operands and the output (bf16 in
+    the production model — halves the per-step DMA); gate math is f32.
+    """
     two, t_len, b, three_h = gx.shape
     hidden = three_h // 3
     tile_b = min(_TILE_B, -(-b // 8) * 8)  # sublane-aligned batch tile
     b_pad = -(-b // tile_b) * tile_b
-    if b_pad != b:
-        gx = jnp.pad(gx, ((0, 0), (0, 0), (0, b_pad - b), (0, 0)))
-    grid = (b_pad // tile_b, t_len)
+    tile_t = min(_TILE_T, t_len)
+    t_pad = -(-t_len // tile_t) * tile_t
+    if b_pad != b or t_pad != t_len:
+        gx = jnp.pad(gx, ((0, 0), (0, t_pad - t_len), (0, b_pad - b),
+                          (0, 0)))
+    grid = (b_pad // tile_b, t_pad // tile_t)
+    kernel = functools.partial(_gru_layer_kernel, tile_t=tile_t)
     out = pl.pallas_call(
-        _gru_layer_kernel,
+        kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((2, 1, tile_b, three_h),
+            pl.BlockSpec((2, tile_t, tile_b, three_h),
                          lambda i, t: (0, t, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, hidden, three_h), lambda i, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 1, hidden), lambda i, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((2, 1, tile_b, hidden),
+        out_specs=pl.BlockSpec((2, tile_t, tile_b, hidden),
                                lambda i, t: (0, t, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((2, t_len, b_pad, hidden),
-                                       jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((2, t_pad, b_pad, hidden), gx.dtype),
         scratch_shapes=[pltpu.VMEM((2, tile_b, hidden), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * t_len * b_pad * hidden * three_h,
             bytes_accessed=(gx.size + w.size + 2 * t_len * b_pad * hidden)
-            * 4,
+            * gx.dtype.itemsize,
             transcendentals=2 * t_len * b_pad * hidden * 3,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(gx, w, bn)
-    return out[:, :, :b]
+    return out[:, :t_len, :b]
 
 
 def gru_bidirectional_pallas(gx_fwd, gx_bwd, w_hh_fwd, w_hh_bwd,
@@ -126,9 +156,9 @@ def gru_bidirectional_pallas(gx_fwd, gx_bwd, w_hh_fwd, w_hh_bwd,
     rz_b = jnp.concatenate([b_hh_bwd[: 2 * hidden],
                             jnp.zeros(hidden, b_hh_bwd.dtype)])
     gx = jnp.stack([gx_fwd + rz_f, gx_bwd[::-1] + rz_b], axis=0)
-    w = jnp.stack([w_hh_fwd.T, w_hh_bwd.T], axis=0).astype(jnp.float32)
+    w = jnp.stack([w_hh_fwd.T, w_hh_bwd.T], axis=0)
     bn = jnp.stack([b_hh_fwd[2 * hidden :], b_hh_bwd[2 * hidden :]],
                    axis=0)[:, None, :].astype(jnp.float32)
     interpret = jax.default_backend() != "tpu"
-    ys = _gru_layer_call(gx.astype(jnp.float32), w, bn, interpret)
-    return ys[0], ys[1][::-1]
+    ys = _gru_layer_call(gx, w, bn, interpret)
+    return ys[0].astype(gx_fwd.dtype), ys[1][::-1].astype(gx_fwd.dtype)
