@@ -402,7 +402,7 @@ def _fused_kernel(lengths_ref, firsts_ref, rows_ref, left_ref,
     out_ref[...] = dbt.astype(out_dtype)
 
 
-_BU = 4  # utterances per grid step (amortizes per-step VPU/pipeline cost)
+_BU = 8  # utterances per grid step (amortizes per-step VPU/pipeline cost)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -456,6 +456,8 @@ def _fused_call(rows, lengths, firsts, left, win, rh, rl,
                             + b_pad * n_mels * t_out * 4),
             transcendentals=b_pad * t_k * n_mels_pad,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(lengths, firsts, rows, left, win, rh, rl, fh, fl)
     return out[:b]
@@ -665,6 +667,8 @@ def _fused_conv1_call(rows, lengths, firsts, left, win, rh, rl, fh, fl,
                             + b_pad * t_pool * n_out * 4),
             transcendentals=b_pad * t_k * n_mels_pad,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(lengths, firsts, rows, left, win, rh, rl, fh, fl, weo, sel)
     return out[:b]
