@@ -196,6 +196,51 @@ def main():
         def conv3_only(x, s):
             return conv_stage(x, k3, b3)[0, 0, 0, 0].astype(jnp.float32) + s
 
+        # ---- parity-stride conv experiment -----------------------------
+        # Fold the mel-direction 2-pool INTO the conv as a stride-2 width-4
+        # conv with doubled output channels (even/odd output-mel parities),
+        # then max the parity halves; the remaining pool is time-only.
+        # Halves the pre-pool activation written to HBM and fills the MXU
+        # lane dim (conv2's N=64 -> 128).
+        def parity_kernel(k):
+            kh, kw, cin, cout = k.shape  # (3, 3, cin, cout), (time, mel)
+            kp = np.zeros((kh, kw + 1, cin, 2 * cout), k.dtype)
+            for p in (0, 1):
+                kp[:, p:p + kw, :, p * cout:(p + 1) * cout] = np.asarray(k)
+            return jnp.asarray(kp)
+
+        def parity_stage(x, kp, b):
+            cout = kp.shape[-1] // 2
+            z = jax.lax.conv_general_dilated(
+                x, kp, (1, 2), [(1, 1), (1, 2)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = nn.relu(jnp.maximum(z[..., :cout] + b, z[..., cout:] + b))
+            return nn.max_pool(y, (2, 1), strides=(2, 1))
+
+        k2p = parity_kernel(k2)
+        k3p = parity_kernel(k3)
+
+        def conv2_parity(x, s):
+            return parity_stage(x, k2p, b2)[0, 0, 0, 0].astype(
+                jnp.float32) + s
+
+        def conv3_parity(x, s):
+            return parity_stage(x, k3p, b3)[0, 0, 0, 0].astype(
+                jnp.float32) + s
+
+        def model_var_parity(x, s):
+            h = parity_stage(parity_stage(x.reshape(batch, 100, 32, 32),
+                                          k2p, b2), k3p, b3)
+            f = h.reshape(batch, 25, 1024)
+            return jnp.sum(model_head.apply(head_vars, f, train=False)) + s
+
+        def fused_conv1_parity(wf, ln, s):
+            p = log_mel_conv1_frontend(wf, ln, fe, weo)
+            h = parity_stage(parity_stage(p.reshape(batch, 100, 32, 32),
+                                          k2p, b2), k3p, b3)
+            f = h.reshape(batch, 25, 1024)
+            return jnp.sum(model_head.apply(head_vars, f, train=False)) + s
+
         # ---- conv23 Pallas kernel + head-only model --------------------
         def conv23_only(x, s):
             f = conv23_pallas(x, w2, b2t, w3, b3t)
@@ -232,6 +277,10 @@ def main():
             ("conv23 kernel only", jax.jit(conv23_only), (pooled,)),
             ("head model (gru+attn)", jax.jit(head_fwd), (sheet,)),
             ("fused conv-all+head", jax.jit(fused_all), (wf, ln)),
+            ("conv2 parity-stride", jax.jit(conv2_parity), (x2,)),
+            ("conv3 parity-stride", jax.jit(conv3_parity), (x3,)),
+            ("model parity convs", jax.jit(model_var_parity), (pooled,)),
+            ("fused parity e2e", jax.jit(fused_conv1_parity), (wf, ln)),
         ]
         if args.only:
             rows = [r for r in rows if args.only in r[0]]
