@@ -169,7 +169,13 @@ def main(argv=None) -> int:
     configure_jax()
     import jax
 
-    backend = jax.default_backend()
+    try:
+        backend = jax.default_backend()
+    except RuntimeError as e:  # tunnel outage: backend init itself fails
+        if args.require_accel:
+            print(f"accelerator backend unavailable: {e}", file=sys.stderr)
+            return 3
+        raise
     if args.require_accel and backend == "cpu":
         print("no accelerator backend available", file=sys.stderr)
         return 3
