@@ -27,9 +27,22 @@ def _speech_like(rng, shape):
 
 
 def main() -> int:
+    from speech_intent_recognizer_tpu.utils.platform import (
+        configure_jax, wait_for_backend)
+    # The tunnel to the TPU has outages during which backend init hangs;
+    # probe in killable subprocesses so an unattended run either proceeds
+    # or fails with a recorded JSON line instead of hanging forever.
+    if not wait_for_backend():
+        print(json.dumps({
+            "metric": "fused_feature_forward_throughput", "value": 0.0,
+            "unit": "utterances/sec/chip", "vs_baseline": 0.0,
+            "error": "accelerator backend unavailable (tunnel outage): "
+                     "no successful backend init within the wait budget",
+        }))
+        return 1
+
     import jax
 
-    from speech_intent_recognizer_tpu.utils.platform import configure_jax
     configure_jax()
     import jax.numpy as jnp
 

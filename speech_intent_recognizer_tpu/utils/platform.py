@@ -39,3 +39,35 @@ def configure_jax(cache_dir: str | None = None) -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception as e:  # pragma: no cover
         logger.debug("compilation cache unavailable: %s", e)
+
+
+def wait_for_backend(max_wait_s: float = 900.0,
+                     probe_timeout_s: float = 120.0) -> bool:
+    """Wait for the accelerator backend to become initializable.
+
+    The TPU behind the ``axon`` tunnel has outages during which backend
+    init either raises UNAVAILABLE or HANGS indefinitely — a hung init in
+    an unattended benchmark records nothing.  Probe in short-lived
+    SUBPROCESSES (a hung probe can be killed; a hung in-process init
+    cannot) and return True as soon as one succeeds, False once
+    ``max_wait_s`` is exhausted.  On a healthy tunnel the first probe
+    succeeds in seconds.
+    """
+    import subprocess
+    import sys
+    import time
+
+    deadline = time.monotonic() + max_wait_s
+    while True:
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout_s, capture_output=True)
+            if proc.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() >= deadline:
+            return False
+        logger.warning("accelerator backend unavailable; retrying")
+        time.sleep(min(30.0, max(1.0, deadline - time.monotonic())))

@@ -56,3 +56,34 @@ class TestProfiling:
         for _name, s in stats.items():
             assert set(s) == {"bytes_in_use", "peak_bytes_in_use",
                               "bytes_limit"}
+
+
+class TestWaitForBackend:
+    """wait_for_backend probes init in killable subprocesses (the tunnel
+    to the TPU has outages during which in-process init hangs forever)."""
+
+    def test_success_path(self, monkeypatch):
+        import subprocess
+
+        from speech_intent_recognizer_tpu.utils import platform as plat
+
+        calls = []
+
+        def fake_run(cmd, timeout, capture_output):
+            calls.append(cmd)
+            return subprocess.CompletedProcess(cmd, 0)
+
+        monkeypatch.setattr(subprocess, "run", fake_run)
+        assert plat.wait_for_backend(max_wait_s=5, probe_timeout_s=1)
+        assert len(calls) == 1
+
+    def test_outage_exhausts_budget(self, monkeypatch):
+        import subprocess
+
+        from speech_intent_recognizer_tpu.utils import platform as plat
+
+        def fake_run(cmd, timeout, capture_output):
+            raise subprocess.TimeoutExpired(cmd, timeout)
+
+        monkeypatch.setattr(subprocess, "run", fake_run)
+        assert not plat.wait_for_backend(max_wait_s=0.01, probe_timeout_s=0.01)
