@@ -68,7 +68,8 @@ def load_corpus(mic_dir: str):
     return feats[tr], labels[tr], feats[he], labels[he]
 
 
-def train_torch(feats, labels, v_feats, v_labels, epochs: int) -> float:
+def train_torch(feats, labels, v_feats, v_labels, epochs: int,
+                seed: int = 0) -> float:
     """Faithful replica of the reference loop (scripts/train.py:164-302)."""
     import torch
 
@@ -102,11 +103,11 @@ def train_torch(feats, labels, v_feats, v_labels, epochs: int) -> float:
             w_att = torch.softmax(self.attention(x), dim=1)
             return self.fc(torch.sum(x * w_att, dim=1))
 
-    torch.manual_seed(0)
+    torch.manual_seed(100 * seed)
     model = Ref()
     opt = torch.optim.Adam(model.parameters(), lr=LR, weight_decay=WD)
     loss_fn = nn.CrossEntropyLoss()
-    g = torch.Generator().manual_seed(1)
+    g = torch.Generator().manual_seed(100 * seed + 1)
     xv = torch.from_numpy(v_feats)
     yv = torch.from_numpy(v_labels)
     best = 0.0
@@ -127,7 +128,8 @@ def train_torch(feats, labels, v_feats, v_labels, epochs: int) -> float:
     return best
 
 
-def train_jax(feats, labels, v_feats, v_labels, epochs: int) -> float:
+def train_jax(feats, labels, v_feats, v_labels, epochs: int,
+              seed: int = 0) -> float:
     """The real Trainer.fit with the identical recipe."""
     import jax
     import jax.numpy as jnp
@@ -142,11 +144,12 @@ def train_jax(feats, labels, v_feats, v_labels, epochs: int) -> float:
     cfg = Config.from_dict({
         "num_labels": NUM_CLASSES, "epochs": epochs, "batch_size": BATCH,
         "lr": LR, "weight_decay": WD, "grad_clip": CLIP, "bf16": False,
-        "use_augmentation": False, "use_mixup": False, "seed": 3,
+        "use_augmentation": False, "use_mixup": False,
+        "seed": 100 * seed + 3,
         "early_stop_patience": epochs, "early_stop_delta": 0.0,
     })
     tx = create_optimizer(lr=LR, weight_decay=WD, grad_clip=CLIP)
-    state = create_train_state(model, jax.random.key(42), tx)
+    state = create_train_state(model, jax.random.key(100 * seed + 42), tx)
     trainer = Trainer(model, cfg, tx=tx, num_classes=NUM_CLASSES)
     _, result = trainer.fit(
         state, jnp.asarray(feats), jnp.asarray(labels.astype(np.int32)),
@@ -159,13 +162,28 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--mic_dir", default="/root/reference/mic_recordings")
     ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--seeds", type=int, default=1,
+                    help="run N independent seed pairs and report per-seed "
+                         "accuracies plus means (default 1: the original "
+                         "fixed-seed A/B)")
     ap.add_argument("--out", default=None, help="write result JSON here")
     ap.add_argument("--require-accel", action="store_true",
                     help="exit 3 if JAX has no accelerator (the JAX side "
                          "is impractically slow on the 1-core CPU host)")
     args = ap.parse_args(argv)
 
-    from speech_intent_recognizer_tpu.utils.platform import configure_jax
+    from speech_intent_recognizer_tpu.utils.platform import (
+        configure_jax, wait_for_backend)
+
+    if args.require_accel:
+        # Tunnel outages can make backend init HANG (not fail) — probe in
+        # killable subprocesses first so an unattended suite run skips in
+        # bounded time instead of blocking on an in-process init.
+        budget = float(os.environ.get("SIR_BACKEND_WAIT_S", "240"))
+        if not wait_for_backend(max_wait_s=budget):
+            print("accelerator backend unavailable (init hung or failed "
+                  f"for {budget:.0f}s)", file=sys.stderr)
+            return 3
     configure_jax()
     import jax
 
@@ -181,12 +199,19 @@ def main(argv=None) -> int:
         return 3
 
     feats, labels, v_feats, v_labels = load_corpus(args.mic_dir)
-    t0 = time.perf_counter()
-    jax_acc = train_jax(feats, labels, v_feats, v_labels, args.epochs)
-    t_jax = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    torch_acc = train_torch(feats, labels, v_feats, v_labels, args.epochs)
-    t_torch = time.perf_counter() - t0
+    jax_accs, torch_accs = [], []
+    t_jax = t_torch = 0.0
+    for seed in range(args.seeds):
+        t0 = time.perf_counter()
+        jax_accs.append(train_jax(feats, labels, v_feats, v_labels,
+                                  args.epochs, seed=seed))
+        t_jax += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        torch_accs.append(train_torch(feats, labels, v_feats, v_labels,
+                                      args.epochs, seed=seed))
+        t_torch += time.perf_counter() - t0
+    torch_acc = float(np.mean(torch_accs))
+    jax_acc = float(np.mean(jax_accs))
 
     result = {
         "torch_best_held_acc": round(torch_acc, 4),
@@ -198,6 +223,10 @@ def main(argv=None) -> int:
         "jax_backend": backend,
         "seconds": {"torch": round(t_torch, 1), "jax": round(t_jax, 1)},
     }
+    if args.seeds > 1:
+        result["seeds"] = args.seeds
+        result["torch_accs"] = [round(a, 4) for a in torch_accs]
+        result["jax_accs"] = [round(a, 4) for a in jax_accs]
     print(json.dumps(result))
     if args.out:
         with open(args.out, "w") as f:
