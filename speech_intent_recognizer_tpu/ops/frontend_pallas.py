@@ -168,38 +168,26 @@ def _split_bf16(x: jax.Array):
     return hi, lo
 
 
-def _tail_vals_in_kernel(chunks_u, length, x0, hop):
-    """Right-reflect tail values for ONE utterance, entirely in VMEM.
-
-    The tail is the reversed window ``y[i] = x[S - i]`` (i the position in
-    the two affected chunk rows, ``S = len + (len mod hop) - 2``), with the
-    reflect fallback ``x[0]`` wherever ``S - i < 0`` (tiny lengths — the
-    ``clip(len-2-k, 0)`` contract).  Realized Mosaic-natively as:
-
-      * dynamic 3-row slice of the chunk view around ``Q = S // hop``
-      * exact lane reversal per 128-block via an antidiagonal-matrix dot,
-        plus a static block-order swap
-      * ONE ``pltpu.roll`` by the per-utterance amount ``511 - S mod hop``
-      * mask-stitch across the row boundary
-
-    No per-row vmapped dynamic slices in XLA — those serialized at ~ms per
-    op per batch and used to dominate the whole fused front-end.
+def _tail_sl_sw(chunks_u, length, hop):
+    """Phase 1 of the right-reflect tail for ONE utterance (see
+    ``_tail_finish``): the block-order-swapped 3-row window around
+    ``Q = S // hop``.  The lane reversal itself happens in the caller as
+    ONE antidiagonal dot batched across all ``bu`` utterances — per-
+    utterance small dots carry a fixed MXU dispatch cost that used to
+    dominate this path.
 
     Args:
       chunks_u: (C, hop) f32 — [left-reflect row ; waveform rows] of one
         utterance (pre-correction).
       length: scalar int32 true sample count.
 
-    Returns (2, hop) f32: correction rows for chunk rows c0 = (hop+len)//hop
-    and c0+1.
+    Returns (3, hop) f32: x-rows Q-2, Q-1, Q with 128-block order reversed.
     """
     lane = _LANE
     nb = hop // lane  # 128-blocks per row (4)
-    c_rows = chunks_u.shape[0]
     off = length % hop  # == (pad + len) % hop at pad == hop
     s_tot = length + off - 2
     q = s_tot // hop
-    c_shift = (hop - 1) - (s_tot % hop)
 
     # One zero guard row on top so q = 0 (tiny lengths) needs no clamping:
     # x-row d maps to guarded row d + 2 (left row sits at d = -1).
@@ -213,18 +201,37 @@ def _tail_vals_in_kernel(chunks_u, length, x0, hop):
     # but a dynamic sublane roll + static slice is equivalent.
     sl = pltpu.roll(ext, n_ext - q, 0)[:3]  # x-rows Q-2, Q-1, Q
 
-    # Reverse lanes within each row: swap the 128-block order with static
-    # lane-slice concats, then reverse within blocks via ONE antidiagonal
-    # dot (0/1 matrix — exact; Mosaic has no negative-step slicing).
-    sl_sw = jnp.concatenate(
+    # Swap the 128-block order with static lane-slice concats; the within-
+    # block lane reversal is the caller's batched antidiagonal dot.
+    return jnp.concatenate(
         [sl[:, (nb - 1 - j) * lane:(nb - j) * lane] for j in range(nb)],
         axis=1)  # (3, hop), block order reversed
-    jmat = (jax.lax.broadcasted_iota(jnp.int32, (lane, lane), 0)
-            == (lane - 1) - jax.lax.broadcasted_iota(
-                jnp.int32, (lane, lane), 1)).astype(jnp.float32)
-    rev_rows = jnp.dot(sl_sw.reshape(3 * nb, lane), jmat,
-                       preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST).reshape(3, hop)
+
+
+def _tail_finish(rev_rows, length, x0, hop):
+    """Phase 2 of the right-reflect tail: from the lane-reversed 3-row
+    window to the (2, hop) correction rows for chunk rows
+    c0 = (hop+len)//hop and c0+1.
+
+    The tail is the reversed window ``y[i] = x[S - i]`` (i the position in
+    the two affected chunk rows, ``S = len + (len mod hop) - 2``), with the
+    reflect fallback ``x[0]`` wherever ``S - i < 0`` (tiny lengths — the
+    ``clip(len-2-k, 0)`` contract).  Realized Mosaic-natively as ONE
+    ``pltpu.roll`` by the per-utterance amount ``511 - S mod hop`` plus a
+    mask-stitch across the row boundary.  No per-row vmapped dynamic
+    slices in XLA — those serialized at ~ms per op per batch and used to
+    dominate the whole fused front-end.
+
+    Args:
+      rev_rows: (3, hop) f32 — lane-reversed x-rows Q-2, Q-1, Q.
+      length: scalar int32 true sample count.
+      x0: scalar f32 first sample (prefetched — Mosaic rejects offset
+        (1,1)-slice broadcasts).
+    """
+    off = length % hop
+    s_tot = length + off - 2
+    c_shift = (hop - 1) - (s_tot % hop)
+
     # revs[d] = reversed x-row (Q - d):  sl rows ascend, so flip row order.
     revs = jnp.concatenate(
         [rev_rows[2:3], rev_rows[1:2], rev_rows[0:1]], axis=0)
@@ -240,9 +247,8 @@ def _tail_vals_in_kernel(chunks_u, length, x0, hop):
     hi = jnp.concatenate([rolled[1:2], rolled[2:3]], axis=0)
     y = jnp.where(lanes2 < hop - c_shift, lo, hi)
 
-    # Reflect-index fallback to x[0] and the valid-extent mask k in [0,hop):
-    # i = hop*r + l, k = i - off, source j = s_tot - i.  x0 arrives as a
-    # prefetched scalar (Mosaic rejects offset (1,1)-slice broadcasts).
+    # Reflect-index fallback to x[0] and the valid-extent mask k in [0,hop).
+    # i = hop*r + l, k = i - off, source j = s_tot - i.
     i2 = rowi2 * hop + lanes2
     k2 = i2 - off
     y = jnp.where(s_tot - i2 >= 0, y, x0)
@@ -250,7 +256,7 @@ def _tail_vals_in_kernel(chunks_u, length, x0, hop):
 
 
 def _frontend_core(lengths_ref, firsts_ref, rows_ref, left_ref,
-                   win_ref, rh_ref, rl_ref, fh_ref, fl_ref, *,
+                   win_ref, pk_ref, fm_ref, *,
                    bu, t_k, hop, n_mels, normalize, eps):
     """Shared kernel body: raw rows -> (db, mask), both (bu, t_k, n_mels_pad).
 
@@ -258,21 +264,33 @@ def _frontend_core(lengths_ref, firsts_ref, rows_ref, left_ref,
     padded frames and pad lanes.  Callers multiply and lay out / consume.
     """
     lane = _LANE
+    nb = hop // lane
     b_idx = pl.program_id(0)
     xr = rows_ref[...]  # (bu, t_k, hop) f32 raw waveform rows (zero-padded)
     # Left-reflect chunk rows, precomputed in XLA (cheap static ops there).
     chunks = jnp.concatenate([left_ref[...], xr], axis=1)  # (bu, t_k+1, hop)
     # Dynamic right-reflect tail, computed HERE from the chunk rows and
     # added at chunk rows c0 / c0+1 per utterance (row c0+1 may fall off
-    # the end — masked away).  Per-utterance scalars enter via
+    # the end — masked away).  The lane-reversal antidiagonal dot is
+    # batched across all bu utterances (per-utterance small dots carry a
+    # fixed MXU dispatch cost).  Per-utterance scalars enter via
     # scalar-select chains (Mosaic has no (bu,) -> (bu,1,1) reshape).
+    sls = [_tail_sl_sw(chunks[u], lengths_ref[bu * b_idx + u], hop)
+           for u in range(bu)]
+    jmat = (jax.lax.broadcasted_iota(jnp.int32, (lane, lane), 0)
+            == (lane - 1) - jax.lax.broadcasted_iota(
+                jnp.int32, (lane, lane), 1)).astype(jnp.float32)
+    rev_all = jnp.dot(
+        jnp.concatenate(sls, axis=0).reshape(3 * bu * nb, lane), jmat,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST).reshape(3 * bu, hop)
     iota_u = jax.lax.broadcasted_iota(jnp.int32, (bu, t_k + 1, hop), 0)
     rowi = jax.lax.broadcasted_iota(jnp.int32, (bu, t_k + 1, hop), 1)
     corr = None
     for u in range(bu):
         ln_u = lengths_ref[bu * b_idx + u]
-        v_u = _tail_vals_in_kernel(chunks[u], ln_u,
-                                   firsts_ref[bu * b_idx + u], hop)
+        v_u = _tail_finish(rev_all[3 * u:3 * u + 3], ln_u,
+                           firsts_ref[bu * b_idx + u], hop)
         c0u = (hop + ln_u) // hop
         uu = iota_u == u
         h0 = jnp.logical_and(uu, rowi == c0u)
@@ -321,38 +339,46 @@ def _frontend_core(lengths_ref, firsts_ref, rows_ref, left_ref,
         3: lhs_pack(o[0] - oa, o[2] - ob),
     }
 
-    # Outer DFT-128 with twiddles pre-multiplied: per residue, ONE dot of
-    # the [hi | lo] lhs against the row-duplicated rhs-hi plus one against
-    # rhs-lo realizes all four bf16x4 cross products in two MXU calls.
-    rh = rh_ref[...]
-    rl = rl_ref[...]
+    # Outer DFT-128 with twiddles pre-multiplied.  The hi/lo rhs splits AND
+    # the conjugate residue pairs (1,7), (2,6), (3,5) that share an lhs are
+    # column-packed into ONE rhs each (``pk_ref``, see _fused_operands), so
+    # the whole outer stage is FIVE MXU dots — the halves/pairs fall out as
+    # 128-lane column slices summed on the VPU.  (The earlier per-residue
+    # per-split form issued 16 dots; small-dot dispatch overhead was the
+    # kernel's largest cost after the MXU floor.)
+    pk = pk_ref[...]
 
-    def outer(r, row0, k2):
-        lhs = lhs_by_r[r if r < 5 else 8 - r]
-        a = rh[row0:row0 + 2 * k2]  # [[R];[R]] hi, rows duplicated
-        b = rl[row0:row0 + 2 * k2]
-        return (jnp.dot(lhs, a, preferred_element_type=jnp.float32)
-                + jnp.dot(lhs, b, preferred_element_type=jnp.float32))
+    def outer_packed(lhs, row0, rows, cols):
+        return jnp.dot(lhs, pk[row0:row0 + rows, :cols],
+                       preferred_element_type=jnp.float32)
 
-    sq = []
-    row0 = 0
-    for r, k2 in ((0, lane), (4, lane), (1, 2 * lane), (2, 2 * lane),
-                  (3, 2 * lane), (5, 2 * lane), (6, 2 * lane),
-                  (7, 2 * lane)):
-        x = outer(r, row0, k2)  # (m, 128) = [Xr | Xi] (r0: +Nyquist) lanes
-        sq.append(x * x)
-        row0 += 2 * k2
+    o0 = outer_packed(lhs_by_r[0], 0, 2 * lane, 2 * lane)
+    o4 = outer_packed(lhs_by_r[4], 2 * lane, 2 * lane, 2 * lane)
+    o1 = outer_packed(lhs_by_r[1], 4 * lane, 4 * lane, 4 * lane)
+    o2 = outer_packed(lhs_by_r[2], 8 * lane, 4 * lane, 4 * lane)
+    o3 = outer_packed(lhs_by_r[3], 12 * lane, 4 * lane, 4 * lane)
+    x_by_r = {
+        0: o0[:, :lane] + o0[:, lane:],
+        4: o4[:, :lane] + o4[:, lane:],
+        1: o1[:, :lane] + o1[:, lane:2 * lane],
+        7: o1[:, 2 * lane:3 * lane] + o1[:, 3 * lane:],
+        2: o2[:, :lane] + o2[:, lane:2 * lane],
+        6: o2[:, 2 * lane:3 * lane] + o2[:, 3 * lane:],
+        3: o3[:, :lane] + o3[:, lane:2 * lane],
+        5: o3[:, 2 * lane:3 * lane] + o3[:, 3 * lane:],
+    }
+    # (m, 128) = [Xr | Xi] (r0: +Nyquist) lanes, residue order 0,4,1,2,3,5,6,7
+    sq = [x_by_r[r] * x_by_r[r] for r in (0, 4, 1, 2, 3, 5, 6, 7)]
     # Mel projection with |X|² folded in: each lane of sq hits the permuted
     # (bin-doubled) FB row for its bin, so Xr/Xi are never unpacked — the
-    # whole projection is ONE K=1024 GEMM (x3 bf16 passes, 2 dots).
+    # whole projection is ONE K=1024 GEMM (x3 bf16 passes; the hi and lo FB
+    # splits ride as column blocks of ``fm_ref``, summed after the dot).
     psl = jnp.concatenate(sq, axis=1)  # (m, 1024), residue-major lanes
     ph, pl_ = _split_bf16(psl)
-    fh = fh_ref[...]  # (2048, n_mels_pad) = [[F];[F]] hi
-    fl = fl_ref[...]
-    mel = (jnp.dot(jnp.concatenate([ph, pl_], axis=1), fh,
-                   preferred_element_type=jnp.float32)
-           + jnp.dot(ph, fl[:8 * lane], preferred_element_type=jnp.float32))
-    n_mels_pad = mel.shape[1]
+    om = jnp.dot(jnp.concatenate([ph, pl_], axis=1), fm_ref[...],
+                 preferred_element_type=jnp.float32)
+    n_mels_pad = om.shape[1] // 2
+    mel = om[:, :n_mels_pad] + om[:, n_mels_pad:]
     mel = mel.reshape(bu, t_k, n_mels_pad)
 
     db = (10.0 / np.log(10.0)) * jnp.log(jnp.maximum(mel, 1e-10))
@@ -386,11 +412,11 @@ def _frontend_core(lengths_ref, firsts_ref, rows_ref, left_ref,
 
 
 def _fused_kernel(lengths_ref, firsts_ref, rows_ref, left_ref,
-                  win_ref, rh_ref, rl_ref, fh_ref, fl_ref, out_ref, *,
+                  win_ref, pk_ref, fm_ref, out_ref, *,
                   bu, t_k, t_out, hop, n_mels, normalize, eps, out_dtype):
     db, mask = _frontend_core(
-        lengths_ref, firsts_ref, rows_ref, left_ref, win_ref, rh_ref, rl_ref,
-        fh_ref, fl_ref, bu=bu, t_k=t_k, hop=hop, n_mels=n_mels,
+        lengths_ref, firsts_ref, rows_ref, left_ref, win_ref, pk_ref,
+        fm_ref, bu=bu, t_k=t_k, hop=hop, n_mels=n_mels,
         normalize=normalize, eps=eps)
     db = db * mask  # zero padded frames and pad lanes
     dbt = jnp.swapaxes(db, 1, 2)[:, :n_mels]  # (bu, n_mels, t_k) mel-major
@@ -407,8 +433,8 @@ _BU = 8  # utterances per grid step (amortizes per-step VPU/pipeline cost)
 
 @functools.partial(jax.jit, static_argnames=(
     "t_out", "hop", "n_mels", "normalize", "eps", "out_dtype", "interpret"))
-def _fused_call(rows, lengths, firsts, left, win, rh, rl,
-                fh, fl, t_out, hop, n_mels, normalize, eps,
+def _fused_call(rows, lengths, firsts, left, win, pk, fm,
+                t_out, hop, n_mels, normalize, eps,
                 out_dtype, interpret):
     b, t_k, _ = rows.shape  # t_k waveform rows -> t_k frames (incl. pad)
     bu = _BU
@@ -419,7 +445,7 @@ def _fused_call(rows, lengths, firsts, left, win, rh, rl,
         left = jnp.pad(left, pad + ((0, 0), (0, 0)))
         lengths = jnp.pad(lengths, pad, constant_values=1)
         firsts = jnp.pad(firsts, pad)
-    n_mels_pad = fh.shape[1]
+    n_mels_pad = fm.shape[1] // 2
     kernel = functools.partial(
         _fused_kernel, bu=bu, t_k=t_k, t_out=t_out, hop=hop, n_mels=n_mels,
         normalize=normalize, eps=eps, out_dtype=out_dtype)
@@ -434,10 +460,8 @@ def _fused_call(rows, lengths, firsts, left, win, rh, rl,
             pl.BlockSpec((bu, 1, hop), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             const((8, 1, _LANE)),          # window blocks
-            const((28 * _LANE, _LANE)),    # twiddled outer DFT rhs, hi
-            const((28 * _LANE, _LANE)),    # twiddled outer DFT rhs, lo
-            const((16 * _LANE, n_mels_pad)),  # permuted bin-doubled FB hi
-            const((16 * _LANE, n_mels_pad)),  # permuted bin-doubled FB lo
+            const((16 * _LANE, 4 * _LANE)),  # packed twiddled outer DFT rhs
+            const((16 * _LANE, 2 * n_mels_pad)),  # packed hi/lo mel FB
         ],
         out_specs=pl.BlockSpec((bu, n_mels, t_out), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -451,15 +475,15 @@ def _fused_call(rows, lengths, firsts, left, win, rh, rl,
             flops=b_pad * t_k * ((2 * 2 * _LANE + 6 * 4 * _LANE) * _LANE * 2
                                  + 3 * 8 * _LANE * n_mels_pad * 2),
             bytes_accessed=(b_pad * t_k * hop * 4
-                            + (28 * _LANE * _LANE
-                               + 16 * _LANE * n_mels_pad) * 2 * 2
+                            + (16 * _LANE * 4 * _LANE
+                               + 16 * _LANE * 2 * n_mels_pad) * 2
                             + b_pad * n_mels * t_out * 4),
             transcendentals=b_pad * t_k * n_mels_pad,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(lengths, firsts, rows, left, win, rh, rl, fh, fl)
+    )(lengths, firsts, rows, left, win, pk, fm)
     return out[:b]
 
 
@@ -519,15 +543,33 @@ def _fused_operands(p: FrontendParams):
     def split_np(x):
         hi = np.asarray(x, np.float64).astype(jnp.bfloat16)
         lo = (x - np.asarray(hi, np.float64)).astype(jnp.bfloat16)
-        return jnp.asarray(hi), jnp.asarray(lo)
+        return np.asarray(hi), np.asarray(lo)
 
     rh, rl = split_np(rmat)
+    # Column-pack the hi/lo splits AND the conjugate residue pairs sharing
+    # an lhs into one rhs per dot (see the kernel's outer_packed): row
+    # blocks P0 (r0), P4 (r4) at 256 rows / 256 used cols, then P1 (r1+r7),
+    # P2 (r2+r6), P3 (r3+r5) at 512 rows x [rh_a | rl_a | rh_b | rl_b].
+    pk = np.zeros((16 * lane, 4 * lane), rh.dtype)
+    pk[0:256, 0:128], pk[0:256, 128:256] = rh[0:256], rl[0:256]
+    pk[256:512, 0:128], pk[256:512, 128:256] = rh[256:512], rl[256:512]
+    for i, (a, b) in enumerate(((512, 3072), (1024, 2560), (1536, 2048))):
+        dst = 512 * (i + 1)
+        pk[dst:dst + 512, 0:128] = rh[a:a + 512]
+        pk[dst:dst + 512, 128:256] = rl[a:a + 512]
+        pk[dst:dst + 512, 256:384] = rh[b:b + 512]
+        pk[dst:dst + 512, 384:512] = rl[b:b + 512]
+
     fh1, fl1 = _split_bf16(fbp)
-    fh = jnp.concatenate([fh1, fh1], axis=0)  # [[F];[F]] for the 2-dot mel
-    fl = jnp.concatenate([fl1, fl1], axis=0)
+    # One-dot mel rhs: [[Fh ; Fl], [Fh ; 0]] — [ph | pl] against it gives
+    # ph@Fh + pl@Fh in the left column block and ph@Fl in the right.
+    # (jnp, not numpy: mel_fb may be traced under jit.)
+    fm = jnp.concatenate(
+        [jnp.concatenate([fh1, fl1], axis=1),
+         jnp.concatenate([fh1, jnp.zeros_like(fl1)], axis=1)], axis=0)
     window = p.dft_cos[:, 0]  # hann window (cos(0) column)
     win = window.reshape(blocks, 1, lane).astype(jnp.float32)
-    return win, rh, rl, fh, fl
+    return win, jnp.asarray(pk), jnp.asarray(fm)
 
 
 # ---------------------------------------------------------------------------
@@ -560,13 +602,13 @@ def _fused_operands(p: FrontendParams):
 
 
 def _fused_conv1_kernel(lengths_ref, firsts_ref, rows_ref, left_ref,
-                        win_ref, rh_ref, rl_ref, fh_ref, fl_ref,
+                        win_ref, pk_ref, fm_ref,
                         weo_ref, sel_ref, out_ref, *,
                         bu, t_k, t_out, hop, n_mels, normalize, eps,
                         out_dtype):
     db, mask = _frontend_core(
-        lengths_ref, firsts_ref, rows_ref, left_ref, win_ref, rh_ref, rl_ref,
-        fh_ref, fl_ref, bu=bu, t_k=t_k, hop=hop, n_mels=n_mels,
+        lengths_ref, firsts_ref, rows_ref, left_ref, win_ref, pk_ref,
+        fm_ref, bu=bu, t_k=t_k, hop=hop, n_mels=n_mels,
         normalize=normalize, eps=eps)
     db = db * mask  # (bu, t_k, n_mels_pad); pad lanes zero (roll relies on it)
     n_out = weo_ref.shape[1] // 2
@@ -612,7 +654,7 @@ def _fused_conv1_kernel(lengths_ref, firsts_ref, rows_ref, left_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "t_out", "hop", "n_mels", "normalize", "eps", "out_dtype", "interpret"))
-def _fused_conv1_call(rows, lengths, firsts, left, win, rh, rl, fh, fl,
+def _fused_conv1_call(rows, lengths, firsts, left, win, pk, fm,
                       weo, sel, t_out, hop, n_mels, normalize, eps,
                       out_dtype, interpret):
     b, t_k, _ = rows.shape
@@ -624,7 +666,7 @@ def _fused_conv1_call(rows, lengths, firsts, left, win, rh, rl, fh, fl,
         left = jnp.pad(left, pad + ((0, 0), (0, 0)))
         lengths = jnp.pad(lengths, pad, constant_values=1)
         firsts = jnp.pad(firsts, pad)
-    n_mels_pad = fh.shape[1]
+    n_mels_pad = fm.shape[1] // 2
     t_pool = t_out // 2
     n_out = weo.shape[1] // 2
     kernel = functools.partial(
@@ -641,10 +683,8 @@ def _fused_conv1_call(rows, lengths, firsts, left, win, rh, rl, fh, fl,
             pl.BlockSpec((bu, 1, hop), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             const((8, 1, _LANE)),          # window blocks
-            const((28 * _LANE, _LANE)),    # twiddled outer DFT rhs, hi
-            const((28 * _LANE, _LANE)),    # twiddled outer DFT rhs, lo
-            const((16 * _LANE, n_mels_pad)),  # permuted bin-doubled FB hi
-            const((16 * _LANE, n_mels_pad)),  # permuted bin-doubled FB lo
+            const((16 * _LANE, 4 * _LANE)),  # packed twiddled outer DFT rhs
+            const((16 * _LANE, 2 * n_mels_pad)),  # packed hi/lo mel FB
             const((2 * _LANE, 2 * n_out)),  # conv bands [W_even | W_odd]
             const((t_pool, t_out)),        # time-pool row selection
         ],
@@ -661,8 +701,8 @@ def _fused_conv1_call(rows, lengths, firsts, left, win, rh, rl, fh, fl,
             + b_pad * t_out * (2 * 2 * _LANE * n_out * 2
                                + t_pool * n_out * 2),
             bytes_accessed=(b_pad * t_k * hop * 4
-                            + (28 * _LANE * _LANE
-                               + 16 * _LANE * n_mels_pad) * 2 * 2
+                            + (16 * _LANE * 4 * _LANE
+                               + 16 * _LANE * 2 * n_mels_pad) * 2
                             + 2 * 2 * _LANE * n_out * 2
                             + b_pad * t_pool * n_out * 4),
             transcendentals=b_pad * t_k * n_mels_pad,
@@ -670,7 +710,7 @@ def _fused_conv1_call(rows, lengths, firsts, left, win, rh, rl, fh, fl,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(lengths, firsts, rows, left, win, rh, rl, fh, fl, weo, sel)
+    )(lengths, firsts, rows, left, win, pk, fm, weo, sel)
     return out[:b]
 
 
@@ -742,12 +782,12 @@ def fused_frontend_conv1_pallas(wf_rows: jax.Array, lengths: jax.Array,
     t_out = p.target_length if t_out is None else t_out
     if t_out % 2:
         raise ValueError("fused conv1 kernel requires even target_length")
-    win, rh, rl, fh, fl = _fused_operands(p)
+    win, pk, fm = _fused_operands(p)
     sel = time_pool_selector(t_out)
     interpret = jax.default_backend() != "tpu"
     return _fused_conv1_call(
         wf_rows, lengths.astype(jnp.int32), wf_rows[:, 0, 0], left_row,
-        win, rh, rl, fh, fl, weo, sel, t_out, p.hop_length,
+        win, pk, fm, weo, sel, t_out, p.hop_length,
         p.n_mels, normalize, p.norm_eps, jnp.dtype(out_dtype), interpret)
 
 
@@ -773,9 +813,9 @@ def fused_frontend_pallas(wf_rows: jax.Array, lengths: jax.Array,
     if p.n_fft != 2 * p.hop_length or p.n_fft != 8 * _LANE:
         raise ValueError("fused kernel requires n_fft=1024, hop=512")
     t_out = p.target_length if t_out is None else t_out
-    win, rh, rl, fh, fl = _fused_operands(p)
+    win, pk, fm = _fused_operands(p)
     interpret = jax.default_backend() != "tpu"
     return _fused_call(wf_rows, lengths.astype(jnp.int32),
-                       wf_rows[:, 0, 0], left_row, win, rh, rl, fh, fl,
+                       wf_rows[:, 0, 0], left_row, win, pk, fm,
                        t_out, p.hop_length, p.n_mels, normalize,
                        p.norm_eps, jnp.dtype(out_dtype), interpret)
