@@ -14,6 +14,16 @@ Rules for the CNNAudioGRU tree:
   over ``model`` (row-parallel; XLA inserts the psum).
 * conv/bn and small leaves: replicated.
 * Batches: shard dim 0 over ``data``.
+
+Rules for the Wav2VecIntent tree (Megatron-style tensor parallelism on the
+transformer encoder):
+
+* ``q_proj``/``k_proj``/``v_proj`` and ``intermediate_dense`` kernels
+  (in, out): shard dim 1 (heads / FFN-expand) over ``model``
+  (column-parallel); their biases follow on dim 0.
+* ``out_proj`` and ``output_dense`` kernels: shard dim 0 (row-parallel;
+  XLA inserts the psum back to replicated).
+* feature extractor convs, layer norms, ``masked_spec_embed``: replicated.
 """
 
 from __future__ import annotations
@@ -42,6 +52,19 @@ def _spec_for_leaf(path: str, leaf, model_size: int) -> P:
                           or "b_hh" in path):
         if shape and shape[0] % model_size == 0:
             return P(MODEL_AXIS, *([None] * (len(shape) - 1)))
+        return P()
+    col_parallel = ("q_proj" in path or "k_proj" in path or "v_proj" in path
+                    or "intermediate_dense" in path)
+    row_parallel = "out_proj" in path or "output_dense" in path
+    if col_parallel or row_parallel:
+        if path.endswith("kernel") and len(shape) == 2:
+            if col_parallel and shape[1] % model_size == 0:
+                return P(None, MODEL_AXIS)
+            if row_parallel and shape[0] % model_size == 0:
+                return P(MODEL_AXIS, None)
+        if (col_parallel and path.endswith("bias") and len(shape) == 1
+                and shape[0] % model_size == 0):
+            return P(MODEL_AXIS)
         return P()
     if ("attention" in path or "fc" in path) and path.endswith("kernel"):
         if len(shape) == 2 and shape[0] % model_size == 0:

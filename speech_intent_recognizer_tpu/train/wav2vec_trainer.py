@@ -9,6 +9,14 @@ Raw 5 s waveforms are too large to pin wholesale in HBM like the log-mel
 cache, so this loop streams host batches through a single compiled train
 step (static shapes via fixed-length padding).  The plateau LR schedule is
 ``optax.contrib.reduce_on_plateau`` driven by the epoch validation loss.
+
+Parallelism: pass ``mesh=`` to shard each streamed batch over the ``data``
+axis and the encoder's attention/FFN weights over ``model``
+(Megatron-style column/row split — ``parallel/sharding.py`` rules); XLA's
+GSPMD inserts the collectives.  Place params with
+``parallel.sharding.place_params`` before ``fit``.  The reference's wav2vec
+trainer is single-GPU torch; this is the TPU-native scaling path for the
+94M-param backbone, where a single chip's HBM and FLOPs actually bind.
 """
 
 from __future__ import annotations
@@ -55,7 +63,8 @@ def create_wav2vec_optimizer(
 class Wav2VecTrainer:
     def __init__(self, model, tx, num_classes: int,
                  max_length: int = 80000, sample_rate: int = 16000,
-                 noise_prob: float = 0.8, noise_level: float = 1e-3):
+                 noise_prob: float = 0.8, noise_level: float = 1e-3,
+                 mesh=None):
         self.model = model
         self.tx = tx
         self.num_classes = num_classes
@@ -63,8 +72,20 @@ class Wav2VecTrainer:
         self.sample_rate = sample_rate
         self.noise_prob = noise_prob
         self.noise_level = noise_level
+        self.mesh = mesh
         self._step_fn = None
         self._eval_fn = None
+
+    def _batch_sharding(self, ndim: int):
+        if self.mesh is None:
+            return None
+        from speech_intent_recognizer_tpu.parallel.sharding import (
+            batch_sharding)
+        return batch_sharding(self.mesh, ndim)
+
+    def _constrain(self, x):
+        s = self._batch_sharding(x.ndim)
+        return jax.lax.with_sharding_constraint(x, s) if s is not None else x
 
     def _build(self):
         model = self.model
@@ -82,6 +103,8 @@ class Wav2VecTrainer:
 
         @jax.jit
         def step(params, opt_state, x, mask, y, rng, plateau_value):
+            x, mask, y = (self._constrain(x), self._constrain(mask),
+                          self._constrain(y))
             nrng, drng = jax.random.split(rng)
             x = add_train_noise(x, mask, nrng, noise_prob, noise_level)
             (loss, logits), grads = grad_fn(params, x, mask, y, drng)
@@ -93,6 +116,8 @@ class Wav2VecTrainer:
 
         @jax.jit
         def evaluate(params, x, mask, y):
+            x, mask, y = (self._constrain(x), self._constrain(mask),
+                          self._constrain(y))
             logits = model.apply({"params": params}, x, mask, train=False)
             onehot = jax.nn.one_hot(y, num_classes)
             loss = optax.softmax_cross_entropy(logits, onehot).mean()
@@ -133,7 +158,8 @@ class Wav2VecTrainer:
             losses, accs = [], []
             for x, mask, y in device_prefetch(
                     self._batches(train_paths, train_labels, batch_size,
-                                  True, seed + epoch), buffer_size=2):
+                                  True, seed + epoch), buffer_size=2,
+                    sharding=self._batch_sharding(1)):
                 rng, srng = jax.random.split(rng)
                 params, opt_state, loss, acc = self._step_fn(
                     params, opt_state, x, mask, y, srng, plateau_value)
