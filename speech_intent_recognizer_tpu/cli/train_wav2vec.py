@@ -71,11 +71,15 @@ def main(argv=None):
     trainer = Wav2VecTrainer(model, tx, num_classes,
                              max_length=max_length,
                              sample_rate=cfg.audio.sample_rate)
+    from speech_intent_recognizer_tpu.train.checkpoint import Checkpointer
+    ckpt = Checkpointer(
+        os.path.join(cfg.train.save_path, "wav2vec_state"),
+        model_meta={"num_classes": num_classes, "model": "wav2vec"})
     params, result = trainer.fit(
         params, train_m.paths, to_ids(train_m), val_m.paths, to_ids(val_m),
         epochs=args.epochs, batch_size=args.batch_size,
         seed=cfg.train.seed, early_stop_patience=cfg.train.early_stop_patience,
-        log=logger.info)
+        checkpointer=ckpt, log=logger.info)
 
     out = os.path.join(cfg.train.save_path, "wav2vec_intent.msgpack")
     save_model(out, {"params": result["best_params"] or

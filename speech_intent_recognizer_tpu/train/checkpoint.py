@@ -89,6 +89,28 @@ class Checkpointer:
         self._manager.save(epoch, args=self._ocp.args.StandardSave(payload))
         self._manager.wait_until_finished()
 
+    def save_payload(self, payload: dict, step: int) -> None:
+        """Generic resumable-state save for trainers whose state is not a
+        ``TrainState`` (e.g. the wav2vec loop: params + opt_state +
+        plateau-LR scale + bookkeeping)."""
+        if self._manager is None:
+            return
+        self._manager.save(
+            step, args=self._ocp.args.StandardSave(jax.device_get(payload)))
+        self._manager.wait_until_finished()
+
+    def restore_payload(self, template: dict) -> Optional[dict]:
+        """Restore the latest payload saved with :meth:`save_payload`;
+        ``template`` supplies the tree structure/dtypes."""
+        if self._manager is None:
+            return None
+        step = self._manager.latest_step()
+        if step is None:
+            return None
+        return self._manager.restore(
+            step,
+            args=self._ocp.args.StandardRestore(jax.device_get(template)))
+
     def latest_epoch(self) -> Optional[int]:
         if self._manager is None:
             return None

@@ -138,23 +138,82 @@ class Wav2VecTrainer:
             yield (jnp.asarray(x), jnp.asarray(mask),
                    jnp.asarray(np.asarray(labels)[idx], jnp.int32))
 
+    def _place(self, tree):
+        """Re-place a host tree onto the mesh with the model-parallel rules
+        (no-op without a mesh)."""
+        if self.mesh is None:
+            return tree
+        from speech_intent_recognizer_tpu.parallel.sharding import (
+            place_params)
+        return place_params(self.mesh, tree)
+
     def fit(self, params, train_paths, train_labels, val_paths, val_labels,
             epochs: int = 20, batch_size: int = 8, seed: int = 0,
             early_stop_patience: int = 5,
+            checkpointer=None, resume: bool = True,
             log: Optional[callable] = None):
+        """Train; with ``checkpointer`` (a ``train.checkpoint.Checkpointer``)
+        the full state (params, opt_state incl. the plateau-LR scale,
+        bookkeeping) is saved every epoch and a preempted/killed run resumes
+        from the last epoch boundary — same fault-tolerance contract as the
+        log-mel loop (``train/loop.py``).  Per-epoch RNG is derived by
+        ``fold_in(seed, epoch)`` so a resumed trajectory matches an
+        uninterrupted one.
+        """
+        import os
+        import signal
+
         log = log or logger.info
         if self._step_fn is None:
             self._step_fn, self._eval_fn = self._build()
         opt_state = self.tx.init(params)
-        rng = jax.random.key(seed)
-        best_val_acc, best_params, no_improve = -1.0, None, 0
+        start_epoch, best_val_acc, best_params, no_improve = 0, -1.0, None, 0
         plateau_value = jnp.asarray(jnp.inf)
         history = []
 
+        if checkpointer is not None and resume:
+            template = {"params": jax.device_get(params),
+                        "opt_state": jax.device_get(opt_state),
+                        "plateau_value": 0.0, "epoch": 0,
+                        "best_val_acc": -1.0, "no_improve": 0}
+            restored = checkpointer.restore_payload(template)
+            if restored is not None:
+                params = self._place(restored["params"])
+                opt_state = self._place(restored["opt_state"])
+                plateau_value = jnp.asarray(restored["plateau_value"])
+                start_epoch = int(restored["epoch"])
+                best_val_acc = float(restored["best_val_acc"])
+                no_improve = int(restored["no_improve"])
+                from speech_intent_recognizer_tpu.train.checkpoint import (
+                    BEST_MODEL_FILE, load_model_checkpoint)
+                best_file = os.path.join(checkpointer.save_path,
+                                         BEST_MODEL_FILE)
+                if os.path.exists(best_file):
+                    best_params = load_model_checkpoint(
+                        best_file,
+                        {"params": jax.device_get(params)})["params"]
+                log(f"w2v resumed from epoch {start_epoch} "
+                    f"(best val acc {best_val_acc:.4f})")
+
+        preempted = {"flag": False}
+        prev_handlers = {}
+
+        def _request_stop(signum, _frame):
+            preempted["flag"] = True
+            log(f"signal {signum}: will checkpoint and stop after this epoch")
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                prev_handlers[sig] = signal.signal(sig, _request_stop)
+            except (ValueError, OSError):  # non-main thread
+                prev_handlers.pop(sig, None)
+
         from speech_intent_recognizer_tpu.data.prefetch import device_prefetch
 
-        for epoch in range(epochs):
+        base_key = jax.random.key(seed)
+        for epoch in range(start_epoch, epochs):
             t0 = time.perf_counter()
+            rng = jax.random.fold_in(base_key, epoch)
             losses, accs = [], []
             for x, mask, y in device_prefetch(
                     self._batches(train_paths, train_labels, batch_size,
@@ -182,13 +241,36 @@ class Wav2VecTrainer:
             log(f"w2v epoch {epoch + 1}/{epochs}: "
                 f"train_loss={entry['train_loss']:.4f} "
                 f"val_loss={val_loss:.4f} val_acc={val_acc:.4f}")
+            stop = False
             if val_acc > best_val_acc:
                 best_val_acc, no_improve = val_acc, 0
                 best_params = jax.device_get(params)
+                if checkpointer is not None:
+                    checkpointer.save_best({"params": best_params},
+                                           best_val_acc, epoch + 1)
             else:
                 no_improve += 1
                 if no_improve >= early_stop_patience:
                     log(f"early stopping after {epoch + 1} epochs")
-                    break
+                    stop = True
+            if checkpointer is not None:
+                checkpointer.save_payload(
+                    {"params": jax.device_get(params),
+                     "opt_state": jax.device_get(opt_state),
+                     "plateau_value": float(plateau_value),
+                     "epoch": epoch + 1,
+                     "best_val_acc": float(best_val_acc),
+                     "no_improve": int(no_improve)}, epoch + 1)
+            if preempted["flag"]:
+                log(f"preempted; state checkpointed at epoch {epoch + 1}")
+                stop = True
+            if stop:
+                break
+
+        for sig, handler in prev_handlers.items():
+            try:
+                signal.signal(sig, handler)
+            except (ValueError, OSError):
+                pass
         return params, {"best_val_acc": best_val_acc,
                         "best_params": best_params, "history": history}

@@ -138,3 +138,53 @@ class TestData:
         out = add_train_noise(x, mask, jax.random.key(0), prob=1.0,
                               level=1e-2)
         assert float(jnp.abs(out).max()) > 0
+
+
+class TestCheckpointResume:
+    """Fault tolerance for the wav2vec loop: a run killed mid-training
+    resumes from the last epoch boundary and lands on the SAME trajectory
+    as an uninterrupted run (per-epoch fold_in RNG)."""
+
+    def _fit(self, tmp_path, reference_mic_dir, epochs, resume=True,
+             subdir="ckpt"):
+        import glob
+        from speech_intent_recognizer_tpu.train.checkpoint import Checkpointer
+        from speech_intent_recognizer_tpu.train.wav2vec_trainer import (
+            Wav2VecTrainer, create_wav2vec_optimizer)
+
+        paths = sorted(glob.glob(reference_mic_dir + "/*.wav"))[:12]
+        labels = [i % 3 for i in range(len(paths))]
+        model, _ = create_wav2vec_intent(
+            num_classes=3, config=small_wav2vec_config(hidden_size=32,
+                                                       num_layers=1))
+        variables = init_wav2vec(model, jax.random.key(0), input_length=8000)
+        tx = create_wav2vec_optimizer(lr=1e-3)
+        trainer = Wav2VecTrainer(model, tx, num_classes=3, max_length=8000)
+        ckpt = Checkpointer(str(tmp_path / subdir))
+        params, result = trainer.fit(
+            variables["params"], paths[:8], labels[:8], paths[8:], labels[8:],
+            epochs=epochs, batch_size=4, seed=0, early_stop_patience=100,
+            checkpointer=ckpt, resume=resume, log=lambda m: None)
+        return params, result
+
+    def test_resumed_run_matches_uninterrupted(self, tmp_path,
+                                               reference_mic_dir):
+        # uninterrupted 3-epoch run
+        _, full = self._fit(tmp_path, reference_mic_dir, epochs=3,
+                            subdir="full")
+        # "preempted" after 2 epochs, then resumed to 3
+        self._fit(tmp_path, reference_mic_dir, epochs=2, subdir="split")
+        _, resumed = self._fit(tmp_path, reference_mic_dir, epochs=3,
+                               subdir="split")
+        assert len(resumed["history"]) == 1  # only epoch 3 re-ran
+        last_full = full["history"][-1]
+        last_res = resumed["history"][-1]
+        assert last_res["epoch"] == 3
+        np.testing.assert_allclose(last_full["train_loss"],
+                                   last_res["train_loss"], rtol=1e-4)
+        np.testing.assert_allclose(last_full["val_loss"],
+                                   last_res["val_loss"], rtol=1e-4)
+        assert resumed["best_val_acc"] == pytest.approx(
+            full["best_val_acc"], abs=1e-6)
+        # best weights were reloaded from the msgpack export on resume
+        assert resumed["best_params"] is not None
