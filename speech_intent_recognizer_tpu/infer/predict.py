@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import logging
 import os
-from functools import partial
 from typing import Dict, List, Optional
 
 import jax
@@ -48,13 +47,19 @@ class Predictor:
     """End-to-end (waveform -> intent) predictor with a fused jitted path."""
 
     def __init__(self, model, variables: dict, label_map: Dict[str, int],
-                 audio_cfg: Optional[AudioConfig] = None):
+                 audio_cfg: Optional[AudioConfig] = None, mesh=None):
         self.model = model
         self.variables = variables
         self.label_map = label_map
         self.inv_label_map = {v: k for k, v in label_map.items()}
         self.audio_cfg = audio_cfg or AudioConfig()
         self.frontend_params = make_frontend_params(self.audio_cfg)
+        # Optional data-parallel serving mesh: the fused path is wrapped in
+        # shard_map over the 'data' axis (params replicated), so the Pallas
+        # kernels run per-shard on each chip's local batch — GSPMD treats a
+        # pallas_call as opaque and would otherwise replicate the whole
+        # batch onto every chip.
+        self.mesh = mesh
         self._fn = None
         self._fn_vars = None
         # (variant_model, variant_variables, weo) when the fused
@@ -71,7 +76,7 @@ class Predictor:
     def from_checkpoint(cls, model_path: str, label_map_path: str,
                         audio_cfg: Optional[AudioConfig] = None,
                         num_classes: Optional[int] = None,
-                        fold_bn: bool = True) -> "Predictor":
+                        fold_bn: bool = True, mesh=None) -> "Predictor":
         from speech_intent_recognizer_tpu.data.labelmap import load_label_map
         from speech_intent_recognizer_tpu.models.cnn_gru import fold_batchnorm
         from speech_intent_recognizer_tpu.train.checkpoint import (
@@ -91,13 +96,13 @@ class Predictor:
             params = fold_batchnorm(variables["params"], batch_stats)
             model = CNNAudioGRU(num_classes=num_classes, fold_bn=True)
             pred = cls(model, {"params": params, "batch_stats": {}},
-                       label_map, audio_cfg)
+                       label_map, audio_cfg, mesh=mesh)
             pred._maybe_enable_conv1_fusion(params)
             return pred
         model = CNNAudioGRU(num_classes=num_classes)
         variables = {"params": variables["params"],
                      "batch_stats": batch_stats}
-        return cls(model, variables, label_map, audio_cfg)
+        return cls(model, variables, label_map, audio_cfg, mesh=mesh)
 
     # ----------------------------------------------------------- fused path
 
@@ -164,6 +169,23 @@ class Predictor:
                         conv23_operands(k2, b2, k3, b3))
         self._fn = None  # rebuild the fused path on next use
 
+    def _finalize(self, fn):
+        """jit the fused path; with a serving mesh, shard_map it over the
+        'data' axis first (params replicated, batch dims sharded)."""
+        if self.mesh is None:
+            return jax.jit(fn)
+        from jax.sharding import PartitionSpec as P
+
+        from speech_intent_recognizer_tpu.parallel.mesh import DATA_AXIS
+
+        # check_vma=False: pallas_call does not declare varying-mesh-axes
+        # metadata, and the fused path is per-shard pure (no collectives),
+        # so the check has nothing to verify anyway.
+        return jax.jit(jax.shard_map(
+            fn, mesh=self.mesh,
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=P(DATA_AXIS), check_vma=False))
+
     def _build(self):
         fe = self.frontend_params
         if self._conv23 is not None:
@@ -174,45 +196,55 @@ class Predictor:
 
             head, head_vars, weo, (w2, b2t, w3, b3t) = self._conv23
 
-            @jax.jit
             def fused_conv23(variables, waveforms, lengths):
                 pooled = log_mel_conv1_frontend(waveforms, lengths, fe, weo)
                 feats = conv23_pallas(pooled, w2, b2t, w3, b3t)
                 logits = head.apply(variables, feats, train=False)
                 return jax.nn.softmax(logits, axis=-1)
 
-            return fused_conv23, head_vars
+            return self._finalize(fused_conv23), head_vars
         if self._conv1 is not None:
             from speech_intent_recognizer_tpu.ops.frontend_jax import (
                 log_mel_conv1_frontend)
 
             variant, variant_vars, weo = self._conv1
 
-            @jax.jit
             def fused_conv1(variables, waveforms, lengths):
                 pooled = log_mel_conv1_frontend(waveforms, lengths, fe, weo)
                 logits = variant.apply(variables, pooled, train=False)
                 return jax.nn.softmax(logits, axis=-1)
 
-            return fused_conv1, variant_vars
+            return self._finalize(fused_conv1), variant_vars
 
         model = self.model
 
-        @partial(jax.jit, static_argnums=())
         def fused(variables, waveforms, lengths):
             feats = log_mel_frontend(waveforms, lengths, fe, backend="auto")
             logits = model.apply(variables, feats, train=False)
             return jax.nn.softmax(logits, axis=-1)
 
-        return fused, self.variables
+        return self._finalize(fused), self.variables
 
     def predict_waveform_batch(self, waveforms: np.ndarray,
                                lengths: np.ndarray) -> np.ndarray:
-        """(B, L) float32 + (B,) lengths -> (B, C) probabilities."""
+        """(B, L) float32 + (B,) lengths -> (B, C) probabilities.
+
+        With a serving mesh the batch is padded up to a multiple of the
+        'data' axis size (pad rows are stripped from the result) and each
+        chip runs the fused path on its local shard."""
         if self._fn is None:
             self._fn, self._fn_vars = self._build()
-        return np.asarray(self._fn(self._fn_vars, jnp.asarray(waveforms),
-                                   jnp.asarray(lengths, jnp.int32)))
+        wf = jnp.asarray(waveforms)
+        ln = jnp.asarray(lengths, jnp.int32)
+        b = wf.shape[0]
+        if self.mesh is not None:
+            from speech_intent_recognizer_tpu.parallel.mesh import DATA_AXIS
+
+            pad = (-b) % self.mesh.shape[DATA_AXIS]
+            if pad:
+                wf = jnp.pad(wf, ((0, pad), (0, 0)))
+                ln = jnp.pad(ln, (0, pad), constant_values=1)
+        return np.asarray(self._fn(self._fn_vars, wf, ln))[:b]
 
     # ------------------------------------------------------------- file API
 
@@ -346,14 +378,13 @@ class Wav2VecPredictor(Predictor):
     def _build(self):
         model = self.model
 
-        @jax.jit
         def fused(variables, waveforms, lengths):
             mask = (jnp.arange(waveforms.shape[1])[None, :]
                     < lengths[:, None]).astype(jnp.int32)
             logits = model.apply(variables, waveforms, mask, train=False)
             return jax.nn.softmax(logits, axis=-1)
 
-        return fused, self.variables
+        return self._finalize(fused), self.variables
 
     def _buffer_width(self) -> int:
         return self.audio_cfg.max_samples  # raw-waveform model: no framing

@@ -255,3 +255,48 @@ class TestPredictorFiles:
         assert r["predicted_label"] in label_map
         probs = [p["probability"] for p in r["top_predictions"]]
         assert probs == sorted(probs, reverse=True)
+
+
+class TestMeshServing:
+    """Data-parallel batch inference: shard_map over 'data' must produce the
+    SAME probabilities as the single-device fused path (dp serving is the
+    §5 'sequence scaling' story at multi-chip scale)."""
+
+    def _predictor(self, mesh):
+        from speech_intent_recognizer_tpu.infer.predict import Predictor
+        from speech_intent_recognizer_tpu.models.cnn_gru import (
+            CNNAudioGRU, init_model)
+
+        model = CNNAudioGRU(num_classes=4)
+        variables = init_model(model, jax.random.key(0))
+        label_map = {f"intent_{i}": i for i in range(4)}
+        return Predictor(model, variables, label_map, mesh=mesh)
+
+    def test_dp8_matches_single_device(self, rng):
+        from speech_intent_recognizer_tpu.parallel.mesh import create_mesh
+
+        assert len(jax.devices()) == 8, "conftest must fake 8 CPU devices"
+        single = self._predictor(None)
+        sharded = self._predictor(create_mesh())
+        b = 8
+        wf = rng.standard_normal(
+            (b, single.audio_cfg.max_samples)).astype(np.float32) * 0.1
+        ln = rng.integers(16000, single.audio_cfg.max_samples,
+                          b).astype(np.int32)
+        ref = single.predict_waveform_batch(wf, ln)
+        out = sharded.predict_waveform_batch(wf, ln)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(ref, out, rtol=2e-4, atol=2e-5)
+
+    def test_ragged_batch_padded_and_stripped(self, rng):
+        from speech_intent_recognizer_tpu.parallel.mesh import create_mesh
+
+        sharded = self._predictor(create_mesh())
+        b = 5  # not a multiple of dp=8
+        wf = rng.standard_normal(
+            (b, sharded.audio_cfg.max_samples)).astype(np.float32) * 0.1
+        ln = rng.integers(16000, sharded.audio_cfg.max_samples,
+                          b).astype(np.int32)
+        out = sharded.predict_waveform_batch(wf, ln)
+        assert out.shape == (b, 4)
+        np.testing.assert_allclose(out.sum(axis=-1), 1.0, rtol=1e-5)
