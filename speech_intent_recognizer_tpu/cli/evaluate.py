@@ -24,10 +24,17 @@ from speech_intent_recognizer_tpu.train.checkpoint import (
 
 def evaluate_from_config(cfg, test_csv, label_map_path, model_path,
                          results_dir=None, logger=None,
-                         model_type="cnn_gru"):
+                         model_type="cnn_gru", data_parallel=False):
     import logging
 
     logger = logger or logging.getLogger("sir_tpu")
+    mesh = None
+    if data_parallel:
+        from speech_intent_recognizer_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh(cfg.parallel.data_axis, cfg.parallel.model_axis)
+        logger.info("data-parallel evaluation over mesh %s",
+                    dict(mesh.shape))
     if model_type == "wav2vec":
         from speech_intent_recognizer_tpu.data.manifest import read_manifest
         from speech_intent_recognizer_tpu.evaluation.evaluate import (
@@ -36,7 +43,7 @@ def evaluate_from_config(cfg, test_csv, label_map_path, model_path,
             Wav2VecPredictor)
 
         predictor = Wav2VecPredictor.from_checkpoint(
-            model_path, label_map_path, audio_cfg=cfg.audio)
+            model_path, label_map_path, audio_cfg=cfg.audio, mesh=mesh)
         manifest = read_manifest(test_csv)
         results_dir = results_dir or os.path.join(
             cfg.train.save_path, "evaluation_results_wav2vec")
@@ -59,7 +66,8 @@ def evaluate_from_config(cfg, test_csv, label_map_path, model_path,
     result = evaluate_dataset(
         model, variables, test_ds.features, test_ds.labels, label_map,
         results_dir=results_dir,
-        batch_size=cfg.train.batch_size * cfg.train.eval_batch_multiplier)
+        batch_size=cfg.train.batch_size * cfg.train.eval_batch_multiplier,
+        mesh=mesh)
     logger.info("test accuracy: %.4f", result["accuracy"])
     return result
 
@@ -75,11 +83,15 @@ def main(argv=None):
     p.add_argument("--results_dir", default=None)
     p.add_argument("--model_type", default="cnn_gru",
                    choices=["cnn_gru", "wav2vec"])
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard evaluation batches over the config's "
+                        "(data, model) mesh")
     args = p.parse_args(argv)
     cfg = load_config_or_default(args.config)
     return evaluate_from_config(cfg, args.test_csv, args.label_map,
                                 args.model_path, args.results_dir, logger,
-                                model_type=args.model_type)
+                                model_type=args.model_type,
+                                data_parallel=args.data_parallel)
 
 
 if __name__ == "__main__":

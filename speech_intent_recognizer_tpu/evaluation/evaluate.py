@@ -28,10 +28,29 @@ from speech_intent_recognizer_tpu.evaluation import metrics as M
 logger = logging.getLogger(__name__)
 
 
-def predict_dataset(model, variables, features, batch_size: int = 64):
-    """Batched argmax predictions + probabilities for a device dataset."""
+def predict_dataset(model, variables, features, batch_size: int = 64,
+                    mesh=None):
+    """Batched argmax predictions + probabilities for a device dataset.
+
+    With ``mesh`` the per-batch forward is ``shard_map``-ped over the
+    ``'data'`` axis (params replicated, batch sharded) so evaluation scales
+    across chips like training does; the batch size is rounded up to a
+    multiple of the axis size. Gathering ``features[ix]`` stays global —
+    only the model apply runs per-shard."""
     n = int(features.shape[0])
     bs = min(batch_size, n)
+    apply_fn = lambda v, x: model.apply(v, x, train=False)  # noqa: E731
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        from speech_intent_recognizer_tpu.parallel.mesh import DATA_AXIS
+
+        dp = mesh.shape[DATA_AXIS]
+        bs = -(-bs // dp) * dp
+        # check_vma=False: the per-shard forward is pure (no collectives).
+        apply_fn = jax.shard_map(apply_fn, mesh=mesh,
+                                 in_specs=(P(), P(DATA_AXIS)),
+                                 out_specs=P(DATA_AXIS), check_vma=False)
     steps = -(-n // bs)
     total = steps * bs
     idx = jnp.asarray(np.minimum(np.arange(total), n - 1).reshape(steps, bs))
@@ -39,7 +58,7 @@ def predict_dataset(model, variables, features, batch_size: int = 64):
     @jax.jit
     def run(variables, features):
         def body(_, ix):
-            logits = model.apply(variables, features[ix], train=False)
+            logits = apply_fn(variables, features[ix])
             return None, logits
 
         _, logits = jax.lax.scan(body, None, idx)
@@ -58,11 +77,13 @@ def evaluate_dataset(
     label_map: Dict[str, int],
     results_dir: Optional[str] = None,
     batch_size: int = 64,
+    mesh=None,
 ) -> Dict:
     """Evaluate and (optionally) write the report artifact set."""
     inv = {v: k for k, v in label_map.items()}
     y_true = np.asarray(labels)
-    y_pred, probs, _ = predict_dataset(model, variables, features, batch_size)
+    y_pred, probs, _ = predict_dataset(model, variables, features, batch_size,
+                                       mesh=mesh)
 
     num_classes = probs.shape[1]
     names = [inv.get(i, str(i)) for i in range(num_classes)]

@@ -327,14 +327,14 @@ class Wav2VecPredictor(Predictor):
     """
 
     def __init__(self, model, variables: dict, label_map: Dict[str, int],
-                 audio_cfg: Optional[AudioConfig] = None):
-        super().__init__(model, variables, label_map, audio_cfg)
+                 audio_cfg: Optional[AudioConfig] = None, mesh=None):
+        super().__init__(model, variables, label_map, audio_cfg, mesh=mesh)
 
     @classmethod
     def from_checkpoint(cls, model_path: str, label_map_path: str,
                         audio_cfg: Optional[AudioConfig] = None,
                         num_classes: Optional[int] = None,
-                        wav2vec_config=None) -> "Wav2VecPredictor":
+                        wav2vec_config=None, mesh=None) -> "Wav2VecPredictor":
         from speech_intent_recognizer_tpu.data.labelmap import load_label_map
         from speech_intent_recognizer_tpu.models.wav2vec import (
             create_wav2vec_intent)
@@ -373,7 +373,8 @@ class Wav2VecPredictor(Predictor):
             if backbone:
                 wav2vec_config = infer_wav2vec_config(backbone)
         model, _ = create_wav2vec_intent(num_classes, config=wav2vec_config)
-        return cls(model, {"params": params}, label_map, audio_cfg)
+        return cls(model, {"params": params}, label_map, audio_cfg,
+                   mesh=mesh)
 
     def _build(self):
         model = self.model

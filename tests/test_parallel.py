@@ -93,3 +93,27 @@ class TestHostSharding:
 
     def test_single_host_is_identity(self):
         assert list(host_shard(7, 0, 1)) == list(range(7))
+
+
+class TestMeshEvaluation:
+    """predict_dataset over a 'data' mesh must equal the single-device run
+    (the evaluation analog of the dp-serving identity in test_infer)."""
+
+    def test_dp8_identity_and_ragged_n(self):
+        from speech_intent_recognizer_tpu.evaluation.evaluate import (
+            predict_dataset)
+        from speech_intent_recognizer_tpu.models.cnn_gru import (
+            CNNAudioGRU, init_model)
+
+        model = CNNAudioGRU(num_classes=5)
+        variables = init_model(model, jax.random.key(0))
+        rng = np.random.default_rng(0)
+        # n=21 with batch_size=6: mesh rounds bs up to 8 and pads the tail
+        feats = rng.standard_normal((21, 64, 200)).astype(np.float32)
+        y_ref, p_ref, _ = predict_dataset(model, variables, feats,
+                                          batch_size=6)
+        y_dp, p_dp, _ = predict_dataset(model, variables, feats,
+                                        batch_size=6, mesh=create_mesh())
+        assert p_dp.shape == p_ref.shape == (21, 5)
+        np.testing.assert_allclose(p_ref, p_dp, rtol=2e-4, atol=2e-5)
+        np.testing.assert_array_equal(y_ref, y_dp)
