@@ -234,6 +234,145 @@ int decode_mp3(const char* path, WavData* out) {
 
 }  // namespace
 
+// ---------------------------------------------------------------------------
+// Streaming log-mel featurizer.
+//
+// Native counterpart of infer/streaming.StreamingFeaturizer's per-chunk hot
+// loop (window multiply + rFFT + power + mel projection + dB), the host-side
+// cost that bounds concurrent serving sessions (reference live path:
+// scripts/testing.py:111-170 recomputes librosa features from scratch each
+// time; here features accrue incrementally).  All state lives in
+// caller-owned (NumPy) memory — the C side is stateless: a small i64 state
+// vector {n, left_filled, frames_done}, the shared prepared-signal buffer
+// [left reflect pad | raw signal], and the mel output rows.  This keeps
+// Python's views (_signal/_prepared) valid and needs no handle lifetimes.
+
+namespace {
+
+// rFFT plan: half-size complex FFT (even/odd packing) + untangle, float
+// data with double-computed twiddle tables, cached per n_fft.
+struct RfftPlan {
+  int n = 0;  // rFFT length
+  int m = 0;  // n/2: complex FFT size
+  std::vector<int> rev;               // bit-reversal permutation (size m)
+  std::vector<float> wre, wim;        // W_m^k, k < m/2 (stage twiddles)
+  std::vector<float> ure, uim;        // e^{-2*pi*i*k/n}, k <= m (untangle)
+  std::vector<float> zre, zim;        // FFT work buffers (size m)
+  std::vector<float> power;           // |X_k|^2, k <= m
+};
+
+RfftPlan* get_rfft_plan(int n) {
+  thread_local RfftPlan plan;
+  if (plan.n == n) return &plan;
+  int m = n / 2;
+  plan.n = n;
+  plan.m = m;
+  plan.rev.assign((size_t)m, 0);
+  for (int i = 1, j = 0; i < m; i++) {
+    int bit = m >> 1;
+    for (; j & bit; bit >>= 1) j ^= bit;
+    j |= bit;
+    plan.rev[(size_t)i] = j;
+  }
+  plan.wre.assign((size_t)(m / 2), 0.0f);
+  plan.wim.assign((size_t)(m / 2), 0.0f);
+  for (int k = 0; k < m / 2; k++) {
+    double a = -2.0 * M_PI * k / m;
+    plan.wre[(size_t)k] = (float)std::cos(a);
+    plan.wim[(size_t)k] = (float)std::sin(a);
+  }
+  plan.ure.assign((size_t)(m + 1), 0.0f);
+  plan.uim.assign((size_t)(m + 1), 0.0f);
+  for (int k = 0; k <= m; k++) {
+    double a = -2.0 * M_PI * k / n;
+    plan.ure[(size_t)k] = (float)std::cos(a);
+    plan.uim[(size_t)k] = (float)std::sin(a);
+  }
+  plan.zre.assign((size_t)m, 0.0f);
+  plan.zim.assign((size_t)m, 0.0f);
+  plan.power.assign((size_t)(m + 1), 0.0f);
+  return &plan;
+}
+
+// Windowed rFFT power spectrum of frame[n] into plan->power[0..m].
+void rfft_power(RfftPlan* p, const float* frame, const float* window) {
+  int m = p->m;
+  float* zre = p->zre.data();
+  float* zim = p->zim.data();
+  // pack even/odd windowed samples as one complex sequence, bit-reversed
+  for (int i = 0; i < m; i++) {
+    int j = p->rev[(size_t)i];
+    zre[i] = frame[2 * j] * window[2 * j];
+    zim[i] = frame[2 * j + 1] * window[2 * j + 1];
+  }
+  for (int len = 2; len <= m; len <<= 1) {
+    int half = len / 2, step = m / len;
+    for (int i = 0; i < m; i += len) {
+      for (int j = 0; j < half; j++) {
+        float cr = p->wre[(size_t)(j * step)];
+        float ci = p->wim[(size_t)(j * step)];
+        int a = i + j, b = i + j + half;
+        float tr = zre[b] * cr - zim[b] * ci;
+        float ti = zre[b] * ci + zim[b] * cr;
+        zre[b] = zre[a] - tr;
+        zim[b] = zim[a] - ti;
+        zre[a] += tr;
+        zim[a] += ti;
+      }
+    }
+  }
+  // untangle: X[k] = Ze + e^{-2pi i k/n} * (-i) * Zo, Z[m] wraps to Z[0]
+  float* pow = p->power.data();
+  for (int k = 0; k <= m; k++) {
+    int kk = k == m ? 0 : k;
+    int mk = (m - k) == m ? 0 : (m - k);
+    float ar = zre[kk], ai = zim[kk];
+    float br = zre[mk], bi = -zim[mk];  // conj(Z[m-k])
+    float er = 0.5f * (ar + br), ei = 0.5f * (ai + bi);
+    float or_ = 0.5f * (ar - br), oi = 0.5f * (ai - bi);
+    float ur = p->ure[(size_t)k], ui = p->uim[(size_t)k];
+    // X = E + (-i*u) * O;  -i*u = ui - i*ur
+    float xr = er + ui * or_ + ur * oi;
+    float xi = ei + ui * oi - ur * or_;
+    pow[k] = xr * xr + xi * xi;
+  }
+}
+
+// One frame: windowed rFFT power -> mel -> dB.  mel_fb is row-major
+// (n_fft/2+1, n_mels) — torchaudio layout (frontend_jax.FrontendParams).
+void mel_db_frame(const float* frame, const float* window,
+                  const float* mel_fb, int n_fft, int n_mels, float* out) {
+  RfftPlan* plan = get_rfft_plan(n_fft);
+  rfft_power(plan, frame, window);
+  int n_freqs = n_fft / 2 + 1;
+  const float* pow = plan->power.data();
+  thread_local std::vector<float> acc;
+  acc.assign((size_t)n_mels, 0.0f);
+  float* a = acc.data();
+  for (int k = 0; k < n_freqs; k++) {
+    float pk = pow[k];
+    const float* fbk = mel_fb + (size_t)k * n_mels;
+    for (int m = 0; m < n_mels; m++) a[m] += pk * fbk[m];
+  }
+  for (int m = 0; m < n_mels; m++) {
+    float v = a[m] < 1e-10f ? 1e-10f : a[m];
+    out[m] = 10.0f * std::log10(v);
+  }
+}
+
+// Mirror sig[1 : k+1] into the left pad region as samples become available
+// (StreamingFeaturizer._fill_left_pad semantics).
+void fill_left_pad(float* prep_buf, int pad, long long n,
+                   long long* left_filled) {
+  if (*left_filled >= pad) return;
+  long long avail = n - 1 < (long long)pad ? n - 1 : (long long)pad;
+  for (long long i = *left_filled; i < avail; i++)
+    prep_buf[pad - 1 - i] = prep_buf[pad + 1 + i];
+  if (avail > *left_filled) *left_filled = avail;
+}
+
+}  // namespace
+
 extern "C" {
 
 int sirdsp_version() { return 1; }
@@ -355,6 +494,86 @@ long long sirdsp_resample(const float* x, long long n, int orig_freq,
   while (emitted < target) out[emitted++] = 0.0f;
   *out_data = out;
   return target;
+}
+
+// Streaming featurizer: append a chunk, emit all newly-complete frames.
+//
+//   st       i64[3] {n, left_filled, frames_done}, zero-initialized
+//   prep_buf float[pad + max_samples]: [left reflect pad | raw signal]
+//   mel_out  float[cap_frames * n_mels]: emitted dB-mel rows
+//
+// Frame t is read at prep_buf[t*hop : t*hop + n_fft] once n > pad (the left
+// reflect region is final by then) — identical math and gating to
+// StreamingFeaturizer.feed.  Returns frames_done, or -1 on a bad n_fft.
+long long sirdsp_stream_feed(long long* st, float* prep_buf, float* mel_out,
+                             const float* chunk, long long chunk_n,
+                             const float* window, const float* mel_fb,
+                             int n_fft, int hop, int n_mels,
+                             long long max_samples, long long cap_frames) {
+  if (n_fft <= 0 || (n_fft & (n_fft - 1)) || hop <= 0) return -1;
+  int pad = n_fft / 2;
+  long long n = st[0], left_filled = st[1], frames_done = st[2];
+
+  long long space = max_samples - n;
+  long long take = chunk_n < space ? chunk_n : space;
+  if (take > 0) {
+    memcpy(prep_buf + pad + n, chunk, (size_t)take * sizeof(float));
+    n += take;
+  }
+  fill_left_pad(prep_buf, pad, n, &left_filled);
+
+  long long num = n + pad - n_fft;
+  long long avail = num < 0 ? 0 : num / hop + 1;
+  long long total_frames = 1 + n / hop;
+  if (avail > total_frames) avail = total_frames;
+  if (avail > cap_frames) avail = cap_frames;
+  if (avail > frames_done && n > pad) {
+    for (long long t = frames_done; t < avail; t++)
+      mel_db_frame(prep_buf + t * hop, window, mel_fb, n_fft, n_mels,
+                   mel_out + t * n_mels);
+    frames_done = avail;
+  }
+  st[0] = n;
+  st[1] = left_filled;
+  st[2] = frames_done;
+  return frames_done;
+}
+
+// Complete the utterance: right reflect tail + remaining frames — the
+// native analog of StreamingFeaturizer.finalize's frame emission
+// (normalization/pad stay in the caller).  Returns the total frame count.
+long long sirdsp_stream_finalize(long long* st, float* prep_buf,
+                                 float* mel_out, const float* window,
+                                 const float* mel_fb, int n_fft, int hop,
+                                 int n_mels, long long cap_frames) {
+  if (n_fft <= 0 || (n_fft & (n_fft - 1)) || hop <= 0) return -1;
+  int pad = n_fft / 2;
+  long long n = st[0], left_filled = st[1], frames_done = st[2];
+  long long total_frames = 1 + n / hop;
+  if (total_frames > cap_frames) total_frames = cap_frames;
+  long long remaining = total_frames - frames_done;
+  if (remaining > 0 && n >= 2) {
+    fill_left_pad(prep_buf, pad, n, &left_filled);
+    // prepared = prep_buf[pad-left : pad+n] + sig[clip(n-2-i)] + zeros
+    long long left = n - 1 < (long long)pad ? n - 1 : (long long)pad;
+    long long need = (total_frames - 1) * hop + n_fft;
+    std::vector<float> ext((size_t)need, 0.0f);
+    long long have = left + n;
+    long long c = have < need ? have : need;
+    memcpy(ext.data(), prep_buf + (pad - left), (size_t)c * sizeof(float));
+    const float* sig = prep_buf + pad;
+    for (long long i = 0; i < (long long)pad && have + i < need; i++) {
+      long long idx = n - 2 - i;
+      if (idx < 0) idx = 0;
+      ext[(size_t)(have + i)] = sig[idx];
+    }
+    for (long long t = frames_done; t < total_frames; t++)
+      mel_db_frame(ext.data() + t * hop, window, mel_fb, n_fft, n_mels,
+                   mel_out + t * n_mels);
+    st[1] = left_filled;
+    st[2] = total_frames;
+  }
+  return st[2];
 }
 
 }  // extern "C"

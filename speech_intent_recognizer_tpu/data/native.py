@@ -56,6 +56,19 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
             ]
             lib.sirdsp_version.restype = ctypes.c_int
+            f32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+            i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+            lib.sirdsp_stream_feed.restype = ctypes.c_longlong
+            lib.sirdsp_stream_feed.argtypes = [
+                i64, f32, f32, f32, ctypes.c_longlong, f32, f32,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_longlong, ctypes.c_longlong,
+            ]
+            lib.sirdsp_stream_finalize.restype = ctypes.c_longlong
+            lib.sirdsp_stream_finalize.argtypes = [
+                i64, f32, f32, f32, f32,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_longlong,
+            ]
         except AttributeError:
             continue
         _lib = lib
@@ -109,3 +122,52 @@ def resample(x: np.ndarray, orig_freq: int, new_freq: int,
     finally:
         lib.sirdsp_free(out_ptr)
     return out
+
+
+class NativeStreamer:
+    """Thin stateful wrapper over the native streaming featurizer.
+
+    Owns nothing but NumPy buffers — the C side
+    (``native/sirdsp.cpp::sirdsp_stream_feed/finalize``) mutates them in
+    place, so there are no handles to free and the caller can alias the
+    prepared-signal buffer for its own views.
+    """
+
+    def __init__(self, prep_buf: np.ndarray, window: np.ndarray,
+                 mel_fb: np.ndarray, n_fft: int, hop: int,
+                 max_samples: int):
+        self._lib = _load()
+        if self._lib is None:
+            raise RuntimeError("native libsirdsp not built")
+        if n_fft & (n_fft - 1):
+            raise ValueError("native streamer needs a power-of-two n_fft")
+        self.prep_buf = prep_buf  # shared with the caller
+        self.window = np.ascontiguousarray(window, np.float32)
+        self.mel_fb = np.ascontiguousarray(mel_fb, np.float32)
+        self.n_fft, self.hop = int(n_fft), int(hop)
+        self.n_mels = int(self.mel_fb.shape[1])
+        self.max_samples = int(max_samples)
+        self.cap_frames = 1 + self.max_samples // self.hop
+        self.mel = np.zeros((self.cap_frames, self.n_mels), np.float32)
+        self.state = np.zeros(3, np.int64)  # n, left_filled, frames_done
+
+    def reset(self) -> None:
+        self.state[:] = 0
+
+    def feed(self, chunk: np.ndarray) -> int:
+        chunk = np.ascontiguousarray(chunk, np.float32).reshape(-1)
+        done = self._lib.sirdsp_stream_feed(
+            self.state, self.prep_buf, self.mel, chunk, chunk.size,
+            self.window, self.mel_fb, self.n_fft, self.hop, self.n_mels,
+            self.max_samples, self.cap_frames)
+        if done < 0:
+            raise RuntimeError(f"sirdsp_stream_feed failed ({done})")
+        return int(done)
+
+    def finalize(self) -> int:
+        total = self._lib.sirdsp_stream_finalize(
+            self.state, self.prep_buf, self.mel, self.window, self.mel_fb,
+            self.n_fft, self.hop, self.n_mels, self.cap_frames)
+        if total < 0:
+            raise RuntimeError(f"sirdsp_stream_finalize failed ({total})")
+        return int(total)

@@ -71,8 +71,14 @@ class StreamingFeaturizer:
       high-RTT device link.
     * ``"device"`` — jitted frame blocks on the accelerator; useful when the
       host is the bottleneck.
+    * ``"native"`` — the C++ hot loop in ``native/sirdsp.cpp``
+      (window+rFFT+mel+dB per frame, state in shared NumPy buffers) — same
+      features, a fraction of the per-chunk host cost; this is what raises
+      the concurrent-session ceiling on a serving host.  Falls back to
+      ``"host"`` when the library isn't built.
+    * ``"auto"`` — ``"native"`` when available, else ``"host"``.
 
-    Both produce identical features (tested).
+    All modes produce identical features (tested).
     """
 
     def __init__(self, params: Optional[FrontendParams] = None,
@@ -83,8 +89,10 @@ class StreamingFeaturizer:
         if self.params.frontend != "torchaudio":
             raise ValueError("streaming supports the unified torchaudio "
                              "front-end")
-        if mode not in ("host", "device"):
+        if mode not in ("host", "device", "native", "auto"):
             raise ValueError(f"unknown streaming mode {mode!r}")
+        if mode in ("native", "auto"):
+            mode = "native" if self._native_usable() else "host"
         self.mode = mode
         self.n_fft = self.params.n_fft
         self.hop = self.params.hop_length
@@ -105,7 +113,27 @@ class StreamingFeaturizer:
         # incrementally so feed() never reallocates or copies the history
         self._prep_buf = np.zeros(self.pad + self.audio_cfg.max_samples,
                                   np.float32)
+        if self.mode == "native":
+            from speech_intent_recognizer_tpu.data.native import (
+                NativeStreamer)
+
+            self._native = NativeStreamer(
+                self._prep_buf, golden_hann(self.n_fft, self.audio_cfg),
+                np.asarray(self.params.mel_fb), self.n_fft, self.hop,
+                self.audio_cfg.max_samples)
         self.reset()
+
+    def _native_usable(self) -> bool:
+        from speech_intent_recognizer_tpu.data import native
+
+        return native.available() and (self.params.n_fft
+                                       & (self.params.n_fft - 1)) == 0
+
+    def _sync_native_state(self) -> None:
+        st = self._native.state
+        self._n = int(st[0])
+        self._left_filled = int(st[1])
+        self._frames_done = int(st[2])
 
     def reset(self) -> None:
         self._n = 0  # raw samples seen so far (capped)
@@ -116,6 +144,8 @@ class StreamingFeaturizer:
         self._sum = 0.0
         self._sumsq = 0.0
         self._count = 0
+        if self.mode == "native":
+            self._native.reset()
 
     # ------------------------------------------------------------- internals
 
@@ -197,6 +227,10 @@ class StreamingFeaturizer:
         ``t*hop + pad`` raw samples (prepared = pad + raw so far).
         Returns the number of frames emitted so far.
         """
+        if self.mode == "native":
+            done = self._native.feed(chunk)
+            self._sync_native_state()
+            return done
         chunk = np.asarray(chunk, np.float32).reshape(-1)
         space = self.audio_cfg.max_samples - self._n  # reference 5 s cap
         if space > 0 and chunk.size > 0:
@@ -220,6 +254,8 @@ class StreamingFeaturizer:
         return self._frames_done
 
     def _stack_mel(self) -> np.ndarray:
+        if self.mode == "native":
+            return self._native.mel[: self._frames_done]
         if not self._mel_frames:
             return np.zeros((0, self.params.n_mels), np.float32)
         return np.concatenate(self._mel_frames, axis=0)
@@ -251,6 +287,11 @@ class StreamingFeaturizer:
         """Complete the utterance: tail reflect pad, remaining frames,
         per-utterance normalization, pad/trim — bit-faithful to the offline
         front-end."""
+        if self.mode == "native":
+            total = self._native.finalize()
+            self._sync_native_state()
+            mel = self._normalize(self._native.mel[:total])
+            return self._pad_target(mel)
         n = len(self._signal)
         total_frames = 1 + n // self.hop
         remaining = total_frames - self._frames_done
@@ -360,7 +401,8 @@ class StreamingRecognizer:
 
     def __init__(self, predictor, chunk_size: int = 1024,
                  threshold: float = 0.01, silence_limit: float = 1.0,
-                 prior_recording: float = 0.5, async_results: bool = False):
+                 prior_recording: float = 0.5, async_results: bool = False,
+                 featurizer_mode: str = "auto"):
         self.async_results = async_results
         self.predictor = predictor
         self.audio_cfg = predictor.audio_cfg
@@ -372,7 +414,7 @@ class StreamingRecognizer:
                                      / chunk_size))
         self._prior: list[np.ndarray] = []
         self._featurizer = StreamingFeaturizer(
-            audio_cfg=predictor.audio_cfg)
+            audio_cfg=predictor.audio_cfg, mode=featurizer_mode)
         self._classify = None
         self._fused = None
         self._recording = False

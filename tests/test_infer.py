@@ -116,6 +116,68 @@ class TestStreamingFeaturizer:
             outs.append(fz.finalize())
         np.testing.assert_allclose(outs[0], outs[1], rtol=2e-3, atol=2e-3)
 
+    def test_native_mode_matches_host(self, rng):
+        """The C++ streaming featurizer (sirdsp_stream_feed/finalize) must
+        track the host path frame-for-frame over ragged chunk schedules,
+        including partial features mid-stream and the reflect tail."""
+        from speech_intent_recognizer_tpu.data import native
+
+        if not native.available():
+            pytest.skip("native libsirdsp not built")
+        cfg = AudioConfig()
+        # chunk-boundary cases: short (< pad), hop-aligned, ragged, capped
+        for n in (3, 300, 1537, 8192, 20000, cfg.max_samples + 5000):
+            x = _speech_like(rng, n)
+            h = StreamingFeaturizer(audio_cfg=cfg, mode="host")
+            nv = StreamingFeaturizer(audio_cfg=cfg, mode="native")
+            assert nv.mode == "native"
+            i = 0
+            while i < n:
+                c = int(rng.integers(64, 3000))
+                dh = h.feed(x[i : i + c])
+                dn = nv.feed(x[i : i + c])
+                assert dh == dn
+                i += c
+            np.testing.assert_allclose(nv.partial_features(),
+                                       h.partial_features(),
+                                       rtol=1e-4, atol=1e-4)
+            np.testing.assert_allclose(nv.finalize(), h.finalize(),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_native_mode_matches_golden_tight(self, rng):
+        """Native features vs the fp64 NumPy golden, within the same bound
+        the fp32 host path satisfies."""
+        from speech_intent_recognizer_tpu.data import native
+        from speech_intent_recognizer_tpu.ops.frontend_numpy import (
+            log_mel_spectrogram_np, pad_or_trim_np)
+
+        if not native.available():
+            pytest.skip("native libsirdsp not built")
+        cfg = AudioConfig()
+        n = 24000
+        x = _speech_like(rng, n)
+        golden = pad_or_trim_np(log_mel_spectrogram_np(x),
+                                cfg.mel_spec_length)
+        fz = StreamingFeaturizer(audio_cfg=cfg, mode="native")
+        for i in range(0, n, 1024):
+            fz.feed(x[i : i + 1024])
+        np.testing.assert_allclose(fz.finalize(), golden,
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_native_reset_reusable(self, rng):
+        from speech_intent_recognizer_tpu.data import native
+
+        if not native.available():
+            pytest.skip("native libsirdsp not built")
+        cfg = AudioConfig()
+        x = _speech_like(rng, 9000)
+        fz = StreamingFeaturizer(audio_cfg=cfg, mode="native")
+        fz.feed(x)
+        first = fz.finalize()
+        fz.reset()
+        fz.feed(x)
+        np.testing.assert_array_equal(first, fz.finalize())
+
 
 class TestStreamingRecognizer:
     @pytest.fixture(scope="class")
