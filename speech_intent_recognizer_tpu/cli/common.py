@@ -12,9 +12,13 @@ from speech_intent_recognizer_tpu.config import Config, load_config
 
 
 def setup_logging(level=logging.INFO) -> logging.Logger:
-    from speech_intent_recognizer_tpu.utils.platform import configure_jax
+    from speech_intent_recognizer_tpu.utils.platform import (
+        configure_jax, ensure_live_platform)
 
     configure_jax()
+    # During a tunnel outage backend init HANGS; pin CPU (with a warning)
+    # rather than hanging every CLI at its first device computation.
+    ensure_live_platform()
     logging.basicConfig(
         level=level,
         format="%(asctime)s - %(levelname)s - %(message)s",

@@ -71,3 +71,56 @@ def wait_for_backend(max_wait_s: float = 900.0,
             return False
         logger.warning("accelerator backend unavailable; retrying")
         time.sleep(min(30.0, max(1.0, deadline - time.monotonic())))
+
+
+def ensure_live_platform(max_wait_s: float = 60.0) -> str:
+    """Pin JAX to a platform that will actually come up.
+
+    The container forces ``jax_platforms="axon,cpu"`` (sitecustomize), and
+    during a tunnel outage *backend init hangs* — so any CLI that touches a
+    jax array would hang forever before doing anything.  Probe the
+    accelerator in killable subprocesses (:func:`wait_for_backend`); if it
+    doesn't come up within ``max_wait_s``, pin ``jax_platforms="cpu"`` with
+    a loud warning so the tool still works.  ``SIR_TPU_REQUIRE_ACCEL=1``
+    turns the fallback into a hard error (exit-3 semantics are the
+    caller's job).  A positive probe is cached on disk for 10 minutes so
+    multi-process pipelines only pay it once.
+
+    Returns "initialized" (too late to change), "accel", or "cpu".
+    """
+    import time
+
+    import jax
+    from jax._src import xla_bridge
+
+    if xla_bridge.backends_are_initialized():
+        return "initialized"
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        return "cpu"
+
+    stamp = os.path.join(os.path.expanduser("~/.cache/sir_tpu"),
+                         "backend_ok")
+    try:
+        if time.time() - os.path.getmtime(stamp) < 600.0:
+            return "accel"
+    except OSError:
+        pass
+    if wait_for_backend(max_wait_s=max_wait_s,
+                        probe_timeout_s=min(60.0, max_wait_s)):
+        try:
+            os.makedirs(os.path.dirname(stamp), exist_ok=True)
+            with open(stamp, "w"):
+                pass
+            os.utime(stamp, None)
+        except OSError:
+            pass
+        return "accel"
+    if os.environ.get("SIR_TPU_REQUIRE_ACCEL"):
+        raise RuntimeError(
+            "accelerator backend unavailable (tunnel outage) and "
+            "SIR_TPU_REQUIRE_ACCEL is set")
+    logger.warning("accelerator backend unavailable (tunnel outage?); "
+                   "falling back to CPU for this run")
+    jax.config.update("jax_platforms", "cpu")
+    return "cpu"
