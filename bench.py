@@ -121,6 +121,35 @@ def main() -> int:
     waveforms = jnp.asarray(wav_np)
     lengths = jnp.full((batch,), audio_cfg.max_samples, jnp.int32)
 
+    # ---- pre-flight the conv1-fused Pallas path ----
+    # The kernel's parity suite runs in interpreter mode on CPU; the Mosaic
+    # lowering is first exercised on the real backend right here.  If the
+    # TPU compiler rejects it (or it emits non-finite garbage), record an
+    # honest number on the unfused auto-backend path instead of crashing
+    # the round artifact.  (backend="auto" has its own probe+fallback in
+    # frontend_jax.pallas_usable.)
+    fwd_vars = var_vars
+    path_kind = "pallas_conv1_fused"
+    try:
+        pre = np.asarray(forward(var_vars, jnp.asarray(wav_np[:8]),
+                                 lengths[:8]).astype(jnp.float32))
+        if not np.isfinite(pre).all():
+            raise RuntimeError("non-finite logits from the fused path")
+    except Exception as e:
+        print(f"conv1-fused path unusable ({e}); timing the unfused "
+              "auto-backend path instead", file=sys.stderr)
+        path_kind = "unfused_fallback"
+        fwd_vars = variables
+
+        def forward(variables, waveforms, lengths):  # noqa: F811
+            feats = log_mel_frontend(waveforms, lengths, fe, backend="auto",
+                                     out_dtype=jnp.bfloat16)
+            return model.apply(variables, feats, train=False)
+
+        fused_chained = jax.jit(  # noqa: F811
+            lambda variables, waveforms, lengths, s:
+            jnp.sum(forward(variables, waveforms, lengths)) + s)
+
     # ---- on-device numerical parity gate (before any timing) ----
     # The headline must be produced by a numerically correct Mosaic-compiled
     # kernel: run a few variable-length utterances through the SAME
@@ -147,7 +176,7 @@ def main() -> int:
     # ...and the SHIPPED path end-to-end: conv1-fused probabilities must
     # match golden-features -> folded model probabilities (bf16 scale)
     gate_probs = np.asarray(jax.nn.softmax(
-        forward(var_vars, gate_wf, gate_ln).astype(jnp.float32), axis=-1))
+        forward(fwd_vars, gate_wf, gate_ln).astype(jnp.float32), axis=-1))
     want_probs = np.asarray(jax.nn.softmax(model.apply(
         variables, jnp.asarray(np.stack(golden_feats), jnp.float32),
         train=False).astype(jnp.float32), axis=-1))
@@ -165,7 +194,7 @@ def main() -> int:
         return 1
 
     # warmup + compile
-    float(fused_chained(var_vars, waveforms, lengths, jnp.float32(0)))
+    float(fused_chained(fwd_vars, waveforms, lengths, jnp.float32(0)))
 
     # best-of-k rounds: the shared accelerator link has high load variance,
     # so the max over rounds approximates uncontended hardware throughput
@@ -175,7 +204,7 @@ def main() -> int:
         s = jnp.float32(0)
         t0 = time.perf_counter()
         for _ in range(iters):
-            s = fused_chained(var_vars, waveforms, lengths, s)
+            s = fused_chained(fwd_vars, waveforms, lengths, s)
         float(s)  # materialize: fences the whole chain
         rates.append(batch * iters / (time.perf_counter() - t0))
     tpu_rate = max(rates)
@@ -226,6 +255,7 @@ def main() -> int:
         "unit": "utterances/sec/chip",
         "vs_baseline": round(tpu_rate / max(cpu_rate, 1e-9), 2),
         "detail": {
+            "path": path_kind,
             "parity_gate_max_err": round(gate_err, 5),
             "parity_gate_prob_err": round(gate_prob_err, 5),
             "cpu_baseline_rate": round(cpu_rate, 2),

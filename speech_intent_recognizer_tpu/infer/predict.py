@@ -120,6 +120,11 @@ class Predictor:
                 and cfg.mel_spec_length % 2 == 0
                 and isinstance(conv1, dict) and "bias" in conv1):
             return
+        from speech_intent_recognizer_tpu.ops.frontend_jax import (
+            pallas_usable)
+
+        if not pallas_usable():  # Mosaic regression: serve unfused instead
+            return
         from speech_intent_recognizer_tpu.models.cnn_gru import (
             conv1_external_params)
         from speech_intent_recognizer_tpu.ops.frontend_pallas import (

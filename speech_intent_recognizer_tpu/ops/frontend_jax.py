@@ -93,6 +93,46 @@ def make_frontend_params(
     )
 
 
+_PALLAS_PROBE: dict = {}
+
+
+def pallas_usable() -> bool:
+    """One-time Mosaic compile+run probe of the fused Pallas kernel.
+
+    The kernel's correctness suite runs in interpreter mode on CPU; the
+    Mosaic lowering itself is first exercised on the real backend here, so
+    a TPU-compiler regression degrades ``backend="auto"`` to the XLA path
+    (with a loud warning) instead of breaking every caller.  Cached per
+    process; trivially True off-TPU (interpret mode).
+    """
+    backend = jax.default_backend()
+    if backend != "tpu":
+        return True
+    if backend not in _PALLAS_PROBE:
+        try:
+            cfg = AudioConfig()  # the standard geometry pallas serves
+            p = make_frontend_params(cfg)
+            wf = jnp.zeros((8, 8 * cfg.hop_length), jnp.float32)
+            ln = jnp.full((8,), 7 * cfg.hop_length + 13, jnp.int32)
+            out = log_mel_frontend(wf, ln, p, backend="pallas")
+            ok = bool(np.isfinite(np.asarray(out)).all())
+            if not ok:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "Pallas frontend probe produced non-finite output; "
+                    "'auto' falls back to the XLA backend")
+            _PALLAS_PROBE[backend] = ok
+        except Exception as e:  # Mosaic compile/runtime failure
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "Pallas frontend kernel unusable on %s (%s); 'auto' falls "
+                "back to the XLA backend", backend, e)
+            _PALLAS_PROBE[backend] = False
+    return _PALLAS_PROBE[backend]
+
+
 def default_backend_choice(params: "FrontendParams | None" = None) -> str:
     """Pick the fastest measured backend for ``backend="auto"``.
 
@@ -106,7 +146,8 @@ def default_backend_choice(params: "FrontendParams | None" = None) -> str:
     n_fft=1024, hop=512); anything else uses the XLA path.
     """
     if (params is not None and params.frontend == "torchaudio"
-            and params.n_fft == 1024 and params.hop_length == 512):
+            and params.n_fft == 1024 and params.hop_length == 512
+            and pallas_usable()):
         return "pallas"
     return "xla"
 

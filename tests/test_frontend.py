@@ -245,3 +245,51 @@ class TestJaxFrontend:
         out = np.asarray(log_mel_frontend(
             jnp.asarray(buf), jnp.asarray([n], np.int32), params))[0]
         np.testing.assert_allclose(out, ref, rtol=2e-3, atol=3e-3)
+
+
+class TestPallasProbeFallback:
+    """backend='auto' must degrade to the XLA path (not crash every caller)
+    if the Mosaic lowering of the Pallas kernel regresses on TPU — the
+    probe in frontend_jax.pallas_usable."""
+
+    def test_probe_trivially_true_off_tpu(self):
+        from speech_intent_recognizer_tpu.ops import frontend_jax as fj
+
+        assert fj.pallas_usable() is True
+
+    def test_auto_falls_back_when_probe_fails(self, monkeypatch):
+        import jax
+
+        from speech_intent_recognizer_tpu.ops import frontend_jax as fj
+
+        def boom(*a, **k):
+            raise RuntimeError("simulated mosaic failure")
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(fj, "log_mel_frontend", boom)
+        fj._PALLAS_PROBE.clear()
+        try:
+            params = fj.make_frontend_params(AudioConfig())
+            assert fj.default_backend_choice(params) == "xla"
+            # cached: a second call must not re-raise through the stub
+            assert fj.pallas_usable() is False
+        finally:
+            fj._PALLAS_PROBE.clear()
+
+    def test_auto_still_picks_pallas_on_healthy_probe(self, monkeypatch):
+        import jax
+
+        from speech_intent_recognizer_tpu.ops import frontend_jax as fj
+
+        import jax.numpy as jnp
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        # a healthy kernel: the probe call returns finite features
+        monkeypatch.setattr(fj, "log_mel_frontend",
+                            lambda *a, **k: jnp.zeros((8, 64, 200)))
+        fj._PALLAS_PROBE.clear()
+        try:
+            params = fj.make_frontend_params(AudioConfig())
+            assert fj.default_backend_choice(params) == "pallas"
+        finally:
+            fj._PALLAS_PROBE.clear()
