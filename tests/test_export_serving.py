@@ -1,0 +1,127 @@
+"""AOT serving-export tests: the jax.export artifact must reproduce the
+live Predictor bit-for-bit-ish (fp32 noise) at ANY batch size through its
+symbolic batch dimension, reload without model code, and accept swapped-in
+weights (fine-tune without re-export)."""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+
+from speech_intent_recognizer_tpu.infer.export import (
+    ServingModel, export_predictor)
+from speech_intent_recognizer_tpu.infer.predict import Predictor
+
+
+@pytest.fixture(scope="module")
+def predictor():
+    from speech_intent_recognizer_tpu.models.cnn_gru import (
+        CNNAudioGRU, init_model)
+
+    model = CNNAudioGRU(num_classes=5)
+    variables = init_model(model, jax.random.key(0))
+    label_map = {f"intent_{i}": i for i in range(5)}
+    return Predictor(model, variables, label_map)
+
+
+@pytest.fixture(scope="module")
+def artifact(predictor, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("serving") / "artifact")
+    export_predictor(predictor, out)
+    return out
+
+
+class TestExportRoundtrip:
+    def test_artifact_files(self, artifact):
+        for name in ("program.jaxexp", "variables.msgpack",
+                     "label_map.json", "manifest.json"):
+            assert os.path.getsize(os.path.join(artifact, name)) > 0
+
+    @pytest.mark.parametrize("b", [1, 3, 16])
+    def test_parity_across_batch_sizes(self, predictor, artifact, rng, b):
+        srv = ServingModel.load(artifact)
+        wf = (rng.standard_normal((b, predictor.audio_cfg.max_samples))
+              * 0.1).astype(np.float32)
+        ln = rng.integers(16000, predictor.audio_cfg.max_samples,
+                          b).astype(np.int32)
+        ref = predictor.predict_waveform_batch(wf, ln)
+        got = srv.predict_waveform_batch(wf, ln)
+        assert got.shape == (b, 5)
+        np.testing.assert_allclose(ref, got, rtol=2e-4, atol=2e-5)
+
+    def test_label_map_survives(self, predictor, artifact):
+        srv = ServingModel.load(artifact)
+        assert srv.label_map == predictor.label_map
+        assert srv.inv_label_map[3] == "intent_3"
+
+    def test_swapped_weights_take_effect(self, predictor, artifact, rng,
+                                         tmp_path):
+        """Drop a different checkpoint's msgpack into the artifact — the
+        program must serve the NEW weights (they are call inputs, not
+        baked constants)."""
+        import shutil
+
+        from flax import serialization
+
+        from speech_intent_recognizer_tpu.models.cnn_gru import (
+            CNNAudioGRU, init_model)
+
+        other = init_model(CNNAudioGRU(num_classes=5), jax.random.key(7))
+        clone = str(tmp_path / "artifact2")
+        shutil.copytree(artifact, clone)
+        with open(os.path.join(clone, "variables.msgpack"), "wb") as f:
+            f.write(serialization.to_bytes(other))
+        srv = ServingModel.load(clone)
+        wf = (rng.standard_normal((2, predictor.audio_cfg.max_samples))
+              * 0.1).astype(np.float32)
+        ln = np.array([30000, 50000], np.int32)
+        base = ServingModel.load(artifact).predict_waveform_batch(wf, ln)
+        swapped = srv.predict_waveform_batch(wf, ln)
+        assert np.abs(base - swapped).max() > 1e-4
+
+    def test_rejects_unknown_format(self, artifact, tmp_path):
+        import json
+        import shutil
+
+        clone = str(tmp_path / "bad")
+        shutil.copytree(artifact, clone)
+        with open(os.path.join(clone, "manifest.json"), "w") as f:
+            json.dump({"format": "something_else"}, f)
+        with pytest.raises(ValueError, match="unrecognized artifact"):
+            ServingModel.load(clone)
+
+    def test_short_buffer_padded(self, artifact, rng):
+        srv = ServingModel.load(artifact)
+        wf = (rng.standard_normal((2, 16000)) * 0.1).astype(np.float32)
+        out = srv.predict_waveform_batch(wf, np.array([16000, 9000]))
+        assert out.shape == (2, 5)
+        np.testing.assert_allclose(out.sum(-1), 1.0, rtol=1e-5)
+
+
+class TestWav2VecExport:
+    def test_wav2vec_roundtrip(self, rng, tmp_path):
+        from speech_intent_recognizer_tpu.infer.predict import (
+            Wav2VecPredictor)
+        from speech_intent_recognizer_tpu.models.wav2vec import (
+            create_wav2vec_intent, init_wav2vec, small_wav2vec_config)
+
+        model, _ = create_wav2vec_intent(
+            num_classes=4, config=small_wav2vec_config(hidden_size=32,
+                                                       num_layers=1))
+        variables = init_wav2vec(model, jax.random.key(0),
+                                 input_length=4000)
+        from speech_intent_recognizer_tpu.config.schema import AudioConfig
+
+        cfg = AudioConfig(max_duration=0.25)  # 4000 samples at 16 kHz
+        pred = Wav2VecPredictor(model, variables,
+                                {f"i{k}": k for k in range(4)},
+                                audio_cfg=cfg)
+        out = str(tmp_path / "w2v_artifact")
+        export_predictor(pred, out)
+        srv = ServingModel.load(out)
+        wf = (rng.standard_normal((3, 4000)) * 0.1).astype(np.float32)
+        ln = np.array([4000, 2500, 3999], np.int32)
+        ref = pred.predict_waveform_batch(wf, ln)
+        got = srv.predict_waveform_batch(wf, ln)
+        np.testing.assert_allclose(ref, got, rtol=2e-4, atol=2e-5)
