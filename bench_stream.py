@@ -20,9 +20,18 @@ import numpy as np
 
 
 def main() -> int:
+    from speech_intent_recognizer_tpu.utils.platform import (
+        configure_jax, wait_for_backend)
+    # backend init HANGS during tunnel outages; record a clean skip instead
+    if not wait_for_backend():
+        print(json.dumps({
+            "metric": "streaming_eos_latency_p50", "value": None,
+            "unit": "ms",
+            "error": "accelerator backend unavailable (tunnel outage)"}))
+        return 3
+
     import jax
 
-    from speech_intent_recognizer_tpu.utils.platform import configure_jax
     configure_jax()
 
     from speech_intent_recognizer_tpu.infer.predict import Predictor
