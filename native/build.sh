@@ -14,7 +14,11 @@ if command -v cmake >/dev/null 2>&1; then
   cmake --build build --config Release
 else
   mkdir -p build
-  g++ -O3 -fno-math-errno -std=c++17 -shared -fPIC sirdsp.cpp -ldl \
+  # built on the machine that runs it -> -march=native is safe (drop the
+  # flag if the toolchain rejects it)
+  MARCH="-march=native"
+  g++ $MARCH -x c++ -c -o /dev/null - </dev/null 2>/dev/null || MARCH=""
+  g++ -O3 -fno-math-errno $MARCH -std=c++17 -shared -fPIC sirdsp.cpp -ldl \
     -o build/libsirdsp.so
 fi
 echo "built: $(ls build/libsirdsp.so)"

@@ -56,17 +56,21 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
             ]
             lib.sirdsp_version.restype = ctypes.c_int
-            f32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
-            i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+            # Raw c_void_p argtypes: the stream calls sit on the per-chunk
+            # serving hot path, and ndpointer's per-call dtype/flags
+            # validation costs more than the C compute itself.  The
+            # NativeStreamer wrapper owns the (fixed) buffers and passes
+            # prebound pointers.
+            vp = ctypes.c_void_p
             lib.sirdsp_stream_feed.restype = ctypes.c_longlong
             lib.sirdsp_stream_feed.argtypes = [
-                i64, f32, f32, f32, ctypes.c_longlong, f32, f32,
+                vp, vp, vp, vp, ctypes.c_longlong, vp, vp,
                 ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 ctypes.c_longlong, ctypes.c_longlong,
             ]
             lib.sirdsp_stream_finalize.restype = ctypes.c_longlong
             lib.sirdsp_stream_finalize.argtypes = [
-                i64, f32, f32, f32, f32,
+                vp, vp, vp, vp, vp,
                 ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_longlong,
             ]
         except AttributeError:
@@ -150,24 +154,40 @@ class NativeStreamer:
         self.cap_frames = 1 + self.max_samples // self.hop
         self.mel = np.zeros((self.cap_frames, self.n_mels), np.float32)
         self.state = np.zeros(3, np.int64)  # n, left_filled, frames_done
+        for name, arr in (("prep_buf", self.prep_buf),
+                          ("window", self.window), ("mel_fb", self.mel_fb)):
+            if arr.dtype != np.float32 or not arr.flags.c_contiguous:
+                raise ValueError(f"{name} must be C-contiguous float32")
+        # prebound raw pointers + bound C functions: this is the per-chunk
+        # serving hot path, so per-call ctypes marshalling is kept to the
+        # chunk pointer alone (all other operands are fixed buffers)
+        self._feed_c = self._lib.sirdsp_stream_feed
+        self._finalize_c = self._lib.sirdsp_stream_finalize
+        self._p_state = self.state.ctypes.data
+        self._p_prep = self.prep_buf.ctypes.data
+        self._p_mel = self.mel.ctypes.data
+        self._p_win = self.window.ctypes.data
+        self._p_fb = self.mel_fb.ctypes.data
 
     def reset(self) -> None:
         self.state[:] = 0
 
     def feed(self, chunk: np.ndarray) -> int:
-        chunk = np.ascontiguousarray(chunk, np.float32).reshape(-1)
-        done = self._lib.sirdsp_stream_feed(
-            self.state, self.prep_buf, self.mel, chunk, chunk.size,
-            self.window, self.mel_fb, self.n_fft, self.hop, self.n_mels,
-            self.max_samples, self.cap_frames)
+        if (not isinstance(chunk, np.ndarray) or chunk.dtype != np.float32
+                or not chunk.flags.c_contiguous):
+            chunk = np.ascontiguousarray(chunk, np.float32)
+        done = self._feed_c(
+            self._p_state, self._p_prep, self._p_mel, chunk.ctypes.data,
+            chunk.size, self._p_win, self._p_fb, self.n_fft, self.hop,
+            self.n_mels, self.max_samples, self.cap_frames)
         if done < 0:
             raise RuntimeError(f"sirdsp_stream_feed failed ({done})")
-        return int(done)
+        return done
 
     def finalize(self) -> int:
-        total = self._lib.sirdsp_stream_finalize(
-            self.state, self.prep_buf, self.mel, self.window, self.mel_fb,
-            self.n_fft, self.hop, self.n_mels, self.cap_frames)
+        total = self._finalize_c(
+            self._p_state, self._p_prep, self._p_mel, self._p_win,
+            self._p_fb, self.n_fft, self.hop, self.n_mels, self.cap_frames)
         if total < 0:
             raise RuntimeError(f"sirdsp_stream_finalize failed ({total})")
-        return int(total)
+        return total
