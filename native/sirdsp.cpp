@@ -496,6 +496,15 @@ long long sirdsp_resample(const float* x, long long n, int orig_freq,
   return target;
 }
 
+// Mean absolute energy of a chunk (the VAD detector's per-chunk hot op —
+// reference scripts/testing.py:38-47 semantics).
+double sirdsp_mean_abs(const float* x, long long n) {
+  if (n <= 0) return 0.0;
+  double acc = 0.0;
+  for (long long i = 0; i < n; i++) acc += std::fabs((double)x[i]);
+  return acc / (double)n;
+}
+
 // Streaming featurizer: append a chunk, emit all newly-complete frames.
 //
 //   st       i64[3] {n, left_filled, frames_done}, zero-initialized

@@ -73,6 +73,8 @@ def _load() -> Optional[ctypes.CDLL]:
                 vp, vp, vp, vp, vp,
                 ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_longlong,
             ]
+            lib.sirdsp_mean_abs.restype = ctypes.c_double
+            lib.sirdsp_mean_abs.argtypes = [vp, ctypes.c_longlong]
         except AttributeError:
             continue
         _lib = lib
@@ -191,3 +193,14 @@ class NativeStreamer:
         if total < 0:
             raise RuntimeError(f"sirdsp_stream_finalize failed ({total})")
         return total
+
+
+def mean_abs(chunk: np.ndarray) -> float:
+    """Native mean-absolute energy (VAD hot op)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native libsirdsp not built")
+    if (not isinstance(chunk, np.ndarray) or chunk.dtype != np.float32
+            or not chunk.flags.c_contiguous):
+        chunk = np.ascontiguousarray(chunk, np.float32)
+    return lib.sirdsp_mean_abs(chunk.ctypes.data, chunk.size)

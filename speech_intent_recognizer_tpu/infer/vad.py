@@ -16,9 +16,30 @@ from typing import List, Optional
 import numpy as np
 
 
+_native_energy = None
+
+
+def _energy_impl():
+    """Native mean-abs when libsirdsp is built (the NumPy abs+mean pair
+    allocates twice per chunk — measurable at serving concurrency), else
+    NumPy.  Resolved once."""
+    global _native_energy
+    if _native_energy is None:
+        try:
+            from speech_intent_recognizer_tpu.data import native
+
+            _native_energy = native.mean_abs if native.available() else False
+        except Exception:
+            _native_energy = False
+    return _native_energy
+
+
 def chunk_energy(chunk: np.ndarray) -> float:
     if chunk.size == 0:
         return 0.0
+    fn = _energy_impl()
+    if fn:
+        return fn(chunk)
     return float(np.mean(np.abs(chunk)))
 
 
