@@ -362,3 +362,28 @@ class TestMeshServing:
         out = sharded.predict_waveform_batch(wf, ln)
         assert out.shape == (b, 4)
         np.testing.assert_allclose(out.sum(axis=-1), 1.0, rtol=1e-5)
+
+    def test_wav2vec_dp8_matches_single_device(self, rng):
+        from speech_intent_recognizer_tpu.config.schema import AudioConfig
+        from speech_intent_recognizer_tpu.infer.predict import (
+            Wav2VecPredictor)
+        from speech_intent_recognizer_tpu.models.wav2vec import (
+            create_wav2vec_intent, init_wav2vec, small_wav2vec_config)
+        from speech_intent_recognizer_tpu.parallel.mesh import create_mesh
+
+        model, _ = create_wav2vec_intent(
+            num_classes=4, config=small_wav2vec_config(hidden_size=32,
+                                                       num_layers=1))
+        variables = init_wav2vec(model, jax.random.key(0), input_length=4000)
+        cfg = AudioConfig(max_duration=0.25)
+        label_map = {f"i{k}": k for k in range(4)}
+        single = Wav2VecPredictor(model, variables, label_map, audio_cfg=cfg)
+        sharded = Wav2VecPredictor(model, variables, label_map,
+                                   audio_cfg=cfg, mesh=create_mesh())
+        b = 11  # ragged vs dp=8
+        wf = (rng.standard_normal((b, 4000)) * 0.1).astype(np.float32)
+        ln = rng.integers(1000, 4000, b).astype(np.int32)
+        ref = single.predict_waveform_batch(wf, ln)
+        out = sharded.predict_waveform_batch(wf, ln)
+        assert out.shape == ref.shape == (b, 4)
+        np.testing.assert_allclose(ref, out, rtol=2e-4, atol=2e-5)
