@@ -43,12 +43,19 @@ class IntentServer:
 
     def __init__(self, predictor, chunk_size: int = 1024,
                  threshold: float = 0.01, silence_limit: float = 1.0,
-                 drain_interval: float = 0.05):
+                 drain_interval: float = 0.05, batch_finalize: bool = True):
+        from speech_intent_recognizer_tpu.infer.streaming import (
+            BatchFinalizer)
+
         self.predictor = predictor
         self.chunk_size = chunk_size
         self.threshold = threshold
         self.silence_limit = silence_limit
         self.drain_interval = drain_interval
+        # One shared batcher: end-of-utterance calls from ALL sessions in a
+        # drain tick dispatch as one device program (per-dispatch link cost
+        # is the capacity ceiling — BENCH_NOTES.md).
+        self.batcher = BatchFinalizer(predictor) if batch_finalize else None
         self._server: Optional[asyncio.AbstractServer] = None
 
     # ------------------------------------------------------------ sessions
@@ -60,7 +67,7 @@ class IntentServer:
         return StreamingRecognizer(
             self.predictor, chunk_size=self.chunk_size,
             threshold=self.threshold, silence_limit=self.silence_limit,
-            async_results=True)
+            async_results=True, batch_finalizer=self.batcher)
 
     # ------------------------------------------------------- one connection
 
@@ -82,6 +89,8 @@ class IntentServer:
                 PendingResult)
 
             while not closed.is_set():
+                if self.batcher is not None:
+                    self.batcher.flush()
                 ready = [(sid, r) for sid, r in pending if r.ready()]
                 if ready:
                     for item in ready:

@@ -328,19 +328,30 @@ class PendingResult(Mapping):
 
     def __init__(self, probs, inv_label_map):
         self._probs = probs  # live jax array
+        self._row = None  # set by BatchFinalizer: row into a batched call
         self._inv = inv_label_map
         self._dict: Optional[Dict] = None
 
+    def _ensure_dispatched(self) -> None:
+        """Hook for deferred results (see :class:`BatchFinalizer`): make
+        ``self._probs`` a live device array.  Base results are dispatched
+        at construction — no-op."""
+
     def ready(self) -> bool:
+        if self._dict is not None:
+            return True
         try:
-            return self._dict is not None or self._probs.is_ready()
+            return self._probs is not None and self._probs.is_ready()
         except AttributeError:  # older jax: no is_ready
             return True
 
     def resolve(self) -> Dict:
         """Materialize (blocking) and return the result dict."""
         if self._dict is None:
+            self._ensure_dispatched()
             probs = np.asarray(self._probs)
+            if self._row is not None:
+                probs = probs[self._row]
             pred = int(np.argmax(probs))
             self._dict = {
                 "predicted_label": self._inv.get(pred, "Unknown"),
@@ -374,9 +385,13 @@ class PendingResult(Mapping):
         """
         live = [r for r in results if r._dict is None]
         if live:
+            for r in live:
+                r._ensure_dispatched()
             values = jax.device_get([r._probs for r in live])
             for r, probs in zip(live, values):
                 probs = np.asarray(probs)
+                if r._row is not None:
+                    probs = probs[r._row]
                 pred = int(np.argmax(probs))
                 r._dict = {
                     "predicted_label": r._inv.get(pred, "Unknown"),
@@ -385,6 +400,130 @@ class PendingResult(Mapping):
                 }
                 r._probs = None
         return [r.resolve() for r in results]
+
+
+class _DeferredFinalize(PendingResult):
+    """A finalize result whose device call has not been dispatched yet —
+    it sits in a :class:`BatchFinalizer` queue until the next flush."""
+
+    def __init__(self, batcher: "BatchFinalizer", inv_label_map):
+        super().__init__(None, inv_label_map)
+        self._batcher = batcher
+
+    def _ensure_dispatched(self) -> None:
+        if self._probs is None and self._dict is None:
+            self._batcher.flush()
+
+
+class BatchFinalizer:
+    """Cross-session batching of end-of-utterance device calls.
+
+    At serving concurrency, many sessions hit end-of-speech within the same
+    event-loop tick, and the per-DISPATCH cost of the batch-1 fused
+    finalize (not its compute) is what bounds capacity — measured at
+    ~102-124 dispatches/s through the remote accelerator link
+    (BENCH_NOTES.md).  Queue the finalize operands instead and run ONE
+    batched program per flush: N utterances cost one dispatch.
+
+    ``submit`` returns immediately with a deferred :class:`PendingResult`;
+    the batch is dispatched when ``max_batch`` requests accumulate, on
+    ``flush()`` (the server calls it every drain tick), or lazily when any
+    deferred result is forced.  Queued batches are padded to the next
+    power of two so the jitted program compiles for at most
+    log2(max_batch)+1 shapes.
+
+    The batched program is the exact vectorization of
+    ``StreamingRecognizer._build_fused_finalize`` (identity-tested against
+    it in ``tests/test_infer.py``).
+    """
+
+    def __init__(self, predictor, tail_max: int = 4, max_batch: int = 16):
+        self.predictor = predictor
+        self.p = predictor.frontend_params
+        self.tail_max = tail_max
+        self.max_batch = max_batch
+        self._queue: list = []
+        self._fn = None
+
+    def _build(self):
+        model = self.predictor.model
+        p = self.p
+        tmax, n_mels, eps = p.target_length, p.n_mels, p.norm_eps
+        k = self.tail_max
+        hi = jax.lax.Precision.HIGHEST
+
+        @jax.jit
+        def run(variables, mel_bufs, counts, tails, n_tails):
+            # tails (N, K, n_fft) -> dB-mel rows for the masked tail frames
+            c = jnp.dot(tails, p.dft_cos, precision=hi)
+            s = jnp.dot(tails, p.dft_sin, precision=hi)
+            mel = jnp.dot(c * c + s * s, p.mel_fb, precision=hi)
+            tail_db = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
+
+            rows = counts[:, None] + jnp.arange(k)[None, :]  # (N, K)
+            writable = jnp.logical_and(
+                jnp.arange(k)[None, :] < n_tails[:, None], rows < tmax)
+            onehot = jax.nn.one_hot(jnp.clip(rows, 0, tmax - 1), tmax,
+                                    dtype=mel_bufs.dtype)  # (N, K, tmax)
+            mel_bufs = mel_bufs + jnp.einsum(
+                "nkt,nkm->ntm", onehot * writable[..., None], tail_db)
+
+            total = counts + n_tails  # (N,)
+            rmask = (jnp.arange(tmax)[None, :]
+                     < total[:, None])[..., None].astype(jnp.float32)
+            cnt = (total * n_mels).astype(jnp.float32)
+            mean = (jnp.sum(mel_bufs * rmask, axis=(1, 2))
+                    / jnp.maximum(cnt, 1.0))
+            var = (jnp.sum(jnp.square(mel_bufs - mean[:, None, None])
+                           * rmask, axis=(1, 2))
+                   / jnp.maximum(cnt - 1.0, 1.0))
+            feats = ((mel_bufs - mean[:, None, None])
+                     / (jnp.sqrt(var)[:, None, None] + eps)) * rmask
+            logits = model.apply(variables, feats.transpose(0, 2, 1),
+                                 train=False)
+            return jax.nn.softmax(logits, axis=-1)
+
+        return run
+
+    def submit(self, mel_buf, count, tail, n_tail,
+               inv_label_map) -> PendingResult:
+        """Queue one finalize; returns a deferred result immediately."""
+        r = _DeferredFinalize(self, inv_label_map)
+        self._queue.append((r, mel_buf, int(count), tail, int(n_tail)))
+        if len(self._queue) >= self.max_batch:
+            self.flush()
+        return r
+
+    def flush(self) -> int:
+        """Dispatch every queued finalize as ONE device call."""
+        if not self._queue:
+            return 0
+        q, self._queue = self._queue, []
+        n = len(q)
+        bucket = 1
+        while bucket < n:
+            bucket <<= 1
+        p = self.p
+        mel = np.zeros((bucket, p.target_length, p.n_mels), np.float32)
+        counts = np.zeros(bucket, np.int32)
+        tails = np.zeros((bucket, self.tail_max, p.n_fft), np.float32)
+        n_tails = np.zeros(bucket, np.int32)
+        for i, (_, m, c, t, nt) in enumerate(q):
+            mel[i], counts[i], tails[i], n_tails[i] = m, c, t, nt
+        if self._fn is None:
+            cache = getattr(self.predictor, "_stream_jit_cache", None)
+            if cache is None:
+                cache = self.predictor._stream_jit_cache = {}
+            if "batched_finalize" not in cache:
+                cache["batched_finalize"] = self._build()
+            self._fn = cache["batched_finalize"]
+        probs = self._fn(self.predictor.variables, jnp.asarray(mel),
+                         jnp.asarray(counts), jnp.asarray(tails),
+                         jnp.asarray(n_tails))
+        for i, (r, *_rest) in enumerate(q):
+            r._probs = probs
+            r._row = i
+        return n
 
 
 class StreamingRecognizer:
@@ -402,8 +541,10 @@ class StreamingRecognizer:
     def __init__(self, predictor, chunk_size: int = 1024,
                  threshold: float = 0.01, silence_limit: float = 1.0,
                  prior_recording: float = 0.5, async_results: bool = False,
-                 featurizer_mode: str = "auto"):
+                 featurizer_mode: str = "auto",
+                 batch_finalizer: Optional[BatchFinalizer] = None):
         self.async_results = async_results
+        self.batch_finalizer = batch_finalizer
         self.predictor = predictor
         self.audio_cfg = predictor.audio_cfg
         self.chunk_size = chunk_size
@@ -501,6 +642,11 @@ class StreamingRecognizer:
                 s0 = (fz._frames_done + i) * fz.hop
                 tail[i] = prepared[s0 : s0 + fz.n_fft]
 
+        if self.batch_finalizer is not None:
+            pending = self.batch_finalizer.submit(
+                mel_buf, count, tail, remaining,
+                self.predictor.inv_label_map)
+            return pending if self.async_results else pending.resolve()
         probs_dev = self._fused(
             self.predictor.variables, jnp.asarray(mel_buf),
             jnp.int32(count), jnp.asarray(tail), jnp.int32(remaining))

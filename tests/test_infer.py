@@ -387,3 +387,96 @@ class TestMeshServing:
         out = sharded.predict_waveform_batch(wf, ln)
         assert out.shape == ref.shape == (b, 4)
         np.testing.assert_allclose(ref, out, rtol=2e-4, atol=2e-5)
+
+
+class TestBatchFinalizer:
+    """Batched end-of-utterance finalize (one device call for N sessions)
+    must reproduce the single-call fused finalize exactly."""
+
+    def _predictor(self):
+        from speech_intent_recognizer_tpu.infer.predict import Predictor
+        from speech_intent_recognizer_tpu.models.cnn_gru import (
+            CNNAudioGRU, init_model)
+
+        model = CNNAudioGRU(num_classes=4)
+        variables = init_model(model, jax.random.key(0))
+        return Predictor(model, variables,
+                         {f"intent_{i}": i for i in range(4)})
+
+    def _utterance(self, seed, n):
+        r = np.random.default_rng(seed)
+        return (0.2 * np.sin(2 * np.pi * r.uniform(200, 400)
+                             * np.arange(n) / 16000)
+                + 0.02 * r.standard_normal(n)).astype(np.float32)
+
+    def test_matches_single_call_finalize(self, rng):
+        from speech_intent_recognizer_tpu.infer.streaming import (
+            BatchFinalizer, PendingResult)
+
+        predictor = self._predictor()
+        batcher = BatchFinalizer(predictor, max_batch=16)
+        # 3 sessions with different lengths -> bucket pad to 4
+        lengths = [16000, 23456, 40001]
+        singles, deferred = [], []
+        for i, n in enumerate(lengths):
+            x = self._utterance(i, n)
+            chunks = [x[j : j + 1024] for j in range(0, n, 1024)]
+            rec_s = StreamingRecognizer(predictor, silence_limit=10.0)
+            rec_b = StreamingRecognizer(predictor, silence_limit=10.0,
+                                        async_results=True,
+                                        batch_finalizer=batcher)
+            for c in chunks:
+                rec_s.feed(c)
+                rec_b.feed(c)
+            singles.append(rec_s.flush())
+            r = rec_b.flush()
+            assert not r.ready()  # still queued — not dispatched
+            deferred.append(r)
+        assert batcher.flush() == 3
+        got = PendingResult.get_all(deferred)
+        for want, have in zip(singles, got):
+            assert have["predicted_label"] == want["predicted_label"]
+            assert abs(have["confidence"] - want["confidence"]) < 1e-5
+            for a, b in zip(want["top_predictions"],
+                            have["top_predictions"]):
+                assert a["label"] == b["label"]
+                assert abs(a["probability"] - b["probability"]) < 1e-5
+
+    def test_lazy_dispatch_on_resolve(self, rng):
+        from speech_intent_recognizer_tpu.infer.streaming import (
+            BatchFinalizer)
+
+        predictor = self._predictor()
+        batcher = BatchFinalizer(predictor)
+        x = self._utterance(7, 20000)
+        rec = StreamingRecognizer(predictor, silence_limit=10.0,
+                                  async_results=True,
+                                  batch_finalizer=batcher)
+        for j in range(0, len(x), 1024):
+            rec.feed(x[j : j + 1024])
+        r = rec.flush()
+        assert not r.ready()
+        out = r.resolve()  # forces the flush
+        assert out["predicted_label"] in predictor.label_map
+        assert len(batcher._queue) == 0
+
+    def test_max_batch_auto_flush(self, rng):
+        from speech_intent_recognizer_tpu.infer.streaming import (
+            BatchFinalizer)
+
+        predictor = self._predictor()
+        batcher = BatchFinalizer(predictor, max_batch=2)
+        recs = []
+        for i in range(2):
+            rec = StreamingRecognizer(predictor, silence_limit=10.0,
+                                      async_results=True,
+                                      batch_finalizer=batcher)
+            x = self._utterance(i + 20, 16000)
+            for j in range(0, len(x), 1024):
+                rec.feed(x[j : j + 1024])
+            recs.append(rec)
+        r1 = recs[0].flush()
+        r2 = recs[1].flush()  # hits max_batch=2 -> auto-dispatch
+        assert len(batcher._queue) == 0
+        assert r1.ready() or r1.resolve()
+        assert r2.resolve()["predicted_label"] in predictor.label_map
