@@ -76,6 +76,9 @@ def main():
     model_var_gp = CNNAudioGRU(num_classes=31, compute_dtype=jnp.bfloat16,
                                fold_bn=True, conv1_external=True,
                                gru_impl="pallas")
+    model_var_pp = CNNAudioGRU(num_classes=31, compute_dtype=jnp.bfloat16,
+                               fold_bn=True, conv1_external=True,
+                               gru_impl="pallas", pool_impl="pallas")
     model_head = CNNAudioGRU(num_classes=31, compute_dtype=jnp.bfloat16,
                              fold_bn=True, conv_external=True)
     cpu0 = jax.devices("cpu")[0]
@@ -170,6 +173,14 @@ def main():
         def fused_conv1_gp(wf, ln, s):
             f = log_mel_conv1_frontend(wf, ln, fe, weo)
             return jnp.sum(model_var_gp.apply(var_vars, f, train=False)) + s
+
+        # pool_impl="pallas": conv epilogues as one-pass Pallas kernels
+        def model_var_pp_fwd(x, s):
+            return jnp.sum(model_var_pp.apply(var_vars, x, train=False)) + s
+
+        def fused_conv1_pp(wf, ln, s):
+            f = log_mel_conv1_frontend(wf, ln, fe, weo)
+            return jnp.sum(model_var_pp.apply(var_vars, f, train=False)) + s
 
         pooled = log_mel_conv1_frontend(wf, ln, fe, weo)
 
@@ -274,6 +285,8 @@ def main():
             ("fused conv1+variant", jax.jit(fused_conv1), (wf, ln)),
             ("model variant gruP", jax.jit(model_var_gp_fwd), (pooled,)),
             ("fused conv1+var gruP", jax.jit(fused_conv1_gp), (wf, ln)),
+            ("model var gruP poolP", jax.jit(model_var_pp_fwd), (pooled,)),
+            ("fused conv1+var poolP", jax.jit(fused_conv1_pp), (wf, ln)),
             ("conv23 kernel only", jax.jit(conv23_only), (pooled,)),
             ("head model (gru+attn)", jax.jit(head_fwd), (sheet,)),
             ("fused conv-all+head", jax.jit(fused_all), (wf, ln)),

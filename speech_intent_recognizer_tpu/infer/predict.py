@@ -43,6 +43,19 @@ def _default_gru_impl() -> str:
     return "pallas" if jax.default_backend() == "tpu" else "scan"
 
 
+def _default_pool_impl() -> str:
+    """Conv-epilogue implementation for the conv1_external variant.
+
+    Stays "xla": the Pallas epilogue kernel (``ops/pool_epilogue_pallas``,
+    parity-tested, opt-in) measured NEGATIVE on v5e — 5.3 vs 2.8 ms for
+    XLA's fused bias/relu/pool pass at conv2's b2048 geometry.  A pure
+    copy kernel over the same blocks also takes 2.7 ms, i.e. XLA's
+    epilogue already runs at the Pallas streaming floor (the pipeline is
+    element-throughput-bound, not HBM-byte-bound) — see BENCH_NOTES.md
+    round 3 "epilogue kernel" entry."""
+    return "xla"
+
+
 class Predictor:
     """End-to-end (waveform -> intent) predictor with a fused jitted path."""
 
@@ -134,7 +147,8 @@ class Predictor:
         variant = CNNAudioGRU(num_classes=self.model.num_classes,
                               compute_dtype=jnp.bfloat16, fold_bn=True,
                               conv1_external=True,
-                              gru_impl=_default_gru_impl())
+                              gru_impl=_default_gru_impl(),
+                              pool_impl=_default_pool_impl())
         weo = conv1_band_operands(c1k, c1b, cfg.n_mels)
         self._conv1 = (variant, {"params": var_params}, weo)
         # Optionally conv2/conv3 move into the Pallas conv23 kernel too

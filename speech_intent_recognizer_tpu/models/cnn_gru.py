@@ -147,6 +147,30 @@ class TorchGRU(nn.Module):
         return x
 
 
+class _RawConv(nn.Module):
+    """3x3 SAME conv that declares ``nn.Conv``'s exact param tree
+    (``kernel``/``bias``) but returns the *pre-bias* conv output plus the
+    bias, so a Pallas epilogue kernel can apply bias+ReLU+pool in one
+    streaming pass (XLA never fuses an epilogue into a conv — measured,
+    BENCH_NOTES.md round 3).  Checkpoint-compatible with the ``nn.Conv``
+    path by construction."""
+
+    features: int
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, x.shape[-1], self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.compute_dtype), kernel.astype(self.compute_dtype),
+            window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y, bias
+
+
 class CNNAudioGRU(nn.Module):
     """Flagship intent classifier; forward contract matches the reference:
     ``(B, 64, 200)`` or ``(B, 1, 64, 200)`` log-mel in -> ``(B, C)`` logits.
@@ -174,6 +198,10 @@ class CNNAudioGRU(nn.Module):
     # conv23 kernel's (B, T/8, (n_mels/8)*C3) sheet, lane = m*C3 + c; this
     # model is GRU + attention + head only.  Requires fold_bn.
     conv_external: bool = False
+    # conv epilogue (bias+ReLU+2x2 maxpool) implementation for the
+    # conv1_external variant: "xla" (nn.Conv + max_pool) or "pallas"
+    # (raw conv + ops/pool_epilogue_pallas one-pass kernel; inference only)
+    pool_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -225,11 +253,19 @@ class CNNAudioGRU(nn.Module):
             x = x.reshape(b, t, mc // c1, c1)
         x = x.astype(self.compute_dtype)
         for i, features in enumerate(self.conv_channels[1:], start=2):
-            x = nn.Conv(features, (3, 3), strides=1, padding="SAME",
-                        use_bias=True, dtype=self.compute_dtype,
-                        param_dtype=jnp.float32, name=f"conv{i}")(x)
-            x = nn.relu(x)
-            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            if self.pool_impl == "pallas":
+                from speech_intent_recognizer_tpu.ops.pool_epilogue_pallas \
+                    import bias_relu_pool2_pallas
+
+                y, bias = _RawConv(features, compute_dtype=self.compute_dtype,
+                                   name=f"conv{i}")(x)
+                x = bias_relu_pool2_pallas(y, bias)
+            else:
+                x = nn.Conv(features, (3, 3), strides=1, padding="SAME",
+                            use_bias=True, dtype=self.compute_dtype,
+                            param_dtype=jnp.float32, name=f"conv{i}")(x)
+                x = nn.relu(x)
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
         # (B, T', M', C) -> (B, T', C * M') channel-major (models.py:54-57)
         b, t, m, c = x.shape
         x = jnp.transpose(x, (0, 1, 3, 2)).reshape(b, t, c * m)
