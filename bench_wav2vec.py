@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""Second-model-family benchmark: wav2vec2-base intent model on one chip.
+
+The reference's wav2vec path fine-tunes ``facebook/wav2vec2-base`` with an
+attention-pooling intent head (orphaned pyc modules; SURVEY.md §2 rows
+9-10).  This measures the TPU-native rebuild at the real base size
+(12 layers, hidden 768, ~94.4M backbone params) with random-initialized
+weights — the architecture and therefore the speed are identical to a
+pretrained fine-tune; the weights can't be downloaded here (zero egress).
+
+Reports, as one JSON line:
+  * bf16 inference throughput (utterances/s, 3 s utterances, batch 64)
+  * fine-tune step time (AdamW, frozen feature extractor — the reference
+    trainer's configuration) and the projected FSC fine-tune epoch time
+    (23,132 train utterances, batch 16).
+
+Methodology matches bench.py: scalar-carry chaining + best-of-k rounds
+(the tunnel link has high variance; see CLAUDE.md), clean exit 3 skip on
+tunnel outages.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+_FSC_TRAIN_UTTS = 23132
+
+
+def main() -> int:
+    from speech_intent_recognizer_tpu.utils.platform import (
+        configure_jax, wait_for_backend)
+    if not wait_for_backend():
+        print(json.dumps({
+            "metric": "wav2vec_inference_throughput", "value": None,
+            "unit": "utterances/sec/chip",
+            "error": "accelerator backend unavailable (tunnel outage)"}))
+        return 3
+
+    configure_jax()
+    import jax
+    import jax.numpy as jnp
+    from transformers import Wav2Vec2Config
+
+    from speech_intent_recognizer_tpu.models.wav2vec import (
+        Wav2VecIntent, feature_extractor_mask, init_wav2vec)
+    from speech_intent_recognizer_tpu.train.wav2vec_trainer import (
+        Wav2VecTrainer, create_wav2vec_optimizer)
+
+    # Wav2Vec2Config() defaults ARE facebook/wav2vec2-base: hidden 768,
+    # 12 post-LN layers, group-norm feature extractor, conv_dim (512,)*7.
+    config = Wav2Vec2Config()
+    num_classes = 31
+    seconds = 3.0  # FSC utterances are ~2-4 s
+    n_samples = int(seconds * 16000)
+
+    rng = np.random.default_rng(0)
+
+    def audio(batch):
+        t = np.arange(n_samples) / 16000.0
+        base = 0.25 * np.sin(2 * np.pi * 220.0 * t)[None, :]
+        x = (base + 0.05 * rng.standard_normal((batch, n_samples)))
+        return jnp.asarray(x, jnp.float32)
+
+    def time_fn(fn, *args, iters=10, rounds=4):
+        float(fn(*args, jnp.float32(0)))  # compile + warmup
+        best = float("inf")
+        for _ in range(rounds):
+            s = jnp.float32(0)
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                s = fn(*args, s)
+            float(s)
+            best = min(best, (time.perf_counter() - t0) / iters)
+        return best
+
+    # ---- bf16 inference (the serving configuration) ----
+    model_inf = Wav2VecIntent(config=config, num_classes=num_classes,
+                              compute_dtype=jnp.bfloat16)
+    variables = init_wav2vec(model_inf, jax.random.key(0),
+                             input_length=n_samples)
+
+    batch = 64
+    x = audio(batch)
+    mask = jnp.ones((batch, n_samples), jnp.int32)
+
+    @jax.jit
+    def fwd(v, x, mask, s):
+        logits = model_inf.apply(v, x, mask, train=False)
+        return jnp.sum(logits).astype(jnp.float32) + s
+
+    sec_inf = time_fn(fwd, variables, x, mask)
+    utt_s = batch / sec_inf
+
+    # ---- fine-tune step (fp32 params, reference recipe: AdamW, frozen
+    # feature extractor) ----
+    model_tr = Wav2VecIntent(config=config, num_classes=num_classes,
+                             compute_dtype=jnp.bfloat16)
+    variables_tr = init_wav2vec(model_tr, jax.random.key(1),
+                                input_length=n_samples)
+    params = variables_tr["params"]
+    tx = create_wav2vec_optimizer(
+        lr=1e-4, freeze_mask=feature_extractor_mask(params))
+    trainer = Wav2VecTrainer(model_tr, tx, num_classes=num_classes,
+                             max_length=n_samples)
+    step, _evaluate = trainer._build()
+    opt_state = tx.init(params)
+
+    tb = 16
+    xt = audio(tb)
+    mt = jnp.ones((tb, n_samples), jnp.int32)
+    yt = jnp.asarray(rng.integers(0, num_classes, tb), jnp.int32)
+
+    # chain through params so successive steps cannot overlap dishonestly
+    state = {"p": params, "o": opt_state}
+
+    def one_step(state):
+        p, o, loss, _acc = step(state["p"], state["o"], xt, mt, yt,
+                                jax.random.key(2), jnp.asarray(jnp.inf))
+        return {"p": p, "o": o}, loss
+
+    state, loss0 = one_step(state)  # compile + warmup
+    float(loss0)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        loss = None
+        for _ in range(5):
+            state, loss = one_step(state)
+        float(loss)
+        best = min(best, (time.perf_counter() - t0) / 5)
+    steps_per_epoch = -(-_FSC_TRAIN_UTTS // tb)
+    epoch_s = best * steps_per_epoch
+
+    print(json.dumps({
+        "metric": "wav2vec_inference_throughput",
+        "value": round(utt_s, 2),
+        "unit": "utterances/sec/chip (wav2vec2-base, 3 s audio, bf16, b64)",
+        "detail": {
+            "inference_ms_per_batch": round(sec_inf * 1e3, 3),
+            "finetune_step_ms_b16": round(best * 1e3, 3),
+            "projected_fsc_epoch_s": round(epoch_s, 1),
+            "hidden_size": config.hidden_size,
+            "num_layers": config.num_hidden_layers,
+        }}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

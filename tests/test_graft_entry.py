@@ -48,4 +48,5 @@ class TestEntry:
              "__graft_entry__.dryrun_multichip(8)\n" % repo],
             env=env, cwd=repo, capture_output=True, text=True, timeout=540)
         assert proc.returncode == 0, proc.stderr[-2000:]
-        assert proc.stdout.count("OK") == 4, proc.stdout  # 2 meshes x 2 model families
+        # 2 meshes x 2 model families + dp-serving
+        assert proc.stdout.count("OK") == 5, proc.stdout
