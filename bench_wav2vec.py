@@ -95,6 +95,21 @@ def main() -> int:
     sec_inf = time_fn(fwd, variables, x, mask)
     utt_s = batch / sec_inf
 
+    # Stage isolation: the 7-layer conv feature extractor vs the rest
+    # (projection + 12 transformer layers + pooling head).  ~15 of the
+    # ~42 GFLOP/utt live in the extractor.
+    from speech_intent_recognizer_tpu.models.wav2vec_flax import (
+        FeatureEncoder)
+    fe = FeatureEncoder(config, dtype=jnp.bfloat16)
+    fe_params = variables["params"]["wav2vec2"]["feature_extractor"]
+
+    @jax.jit
+    def fe_fwd(p, x, s):
+        feats = fe.apply({"params": p}, x)
+        return jnp.sum(feats).astype(jnp.float32) + s
+
+    sec_fe = time_fn(fe_fwd, fe_params, x)
+
     # ---- fine-tune step (fp32 params, reference recipe: AdamW, frozen
     # feature extractor) ----
     model_tr = Wav2VecIntent(config=config, num_classes=num_classes,
@@ -141,6 +156,8 @@ def main() -> int:
         "unit": "utterances/sec/chip (wav2vec2-base, 3 s audio, bf16, b64)",
         "detail": {
             "inference_ms_per_batch": round(sec_inf * 1e3, 3),
+            "feature_extractor_ms": round(sec_fe * 1e3, 3),
+            "encoder_and_head_ms": round((sec_inf - sec_fe) * 1e3, 3),
             "finetune_step_ms_b16": round(best * 1e3, 3),
             "projected_fsc_epoch_s": round(epoch_s, 1),
             "hidden_size": config.hidden_size,

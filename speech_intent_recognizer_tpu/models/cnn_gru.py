@@ -147,6 +147,26 @@ class TorchGRU(nn.Module):
         return x
 
 
+# torch's Conv2d/Linear default weight init, kaiming_uniform(a=sqrt(5)):
+# U(-1/sqrt(fan_in), 1/sqrt(fan_in)) == variance_scaling(1/3, fan_in, uniform)
+# (fan_in = in_ch * kh * kw for convs, in_features for Dense — Flax computes
+# the same fans from the kernel shape).  The reference never re-initializes
+# (models.py:10-39 uses module defaults), so matching torch's init
+# distribution is part of training-behavior parity: Flax's lecun_normal has
+# 3x the weight variance and zero biases where torch draws U(+-1/sqrt(fan_in)).
+_torch_kernel_init = nn.initializers.variance_scaling(
+    1.0 / 3.0, "fan_in", "uniform")
+
+
+def _torch_bias_init(fan_in: int):
+    bound = 1.0 / float(fan_in) ** 0.5
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
 class _RawConv(nn.Module):
     """3x3 SAME conv that declares ``nn.Conv``'s exact param tree
     (``kernel``/``bias``) but returns the *pre-bias* conv output plus the
@@ -160,7 +180,7 @@ class _RawConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+        kernel = self.param("kernel", _torch_kernel_init,
                             (3, 3, x.shape[-1], self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros_init(),
                           (self.features,), jnp.float32)
@@ -220,7 +240,9 @@ class CNNAudioGRU(nn.Module):
         for i, features in enumerate(self.conv_channels):
             x = nn.Conv(features, (3, 3), strides=1, padding="SAME",
                         use_bias=self.fold_bn, dtype=self.compute_dtype,
-                        param_dtype=jnp.float32, name=f"conv{i + 1}")(x)
+                        param_dtype=jnp.float32,
+                        kernel_init=_torch_kernel_init,
+                        name=f"conv{i + 1}")(x)
             if not self.fold_bn:
                 # BatchNorm in fp32 for stable statistics under bf16 compute.
                 x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
@@ -263,7 +285,9 @@ class CNNAudioGRU(nn.Module):
             else:
                 x = nn.Conv(features, (3, 3), strides=1, padding="SAME",
                             use_bias=True, dtype=self.compute_dtype,
-                            param_dtype=jnp.float32, name=f"conv{i}")(x)
+                            param_dtype=jnp.float32,
+                            kernel_init=_torch_kernel_init,
+                            name=f"conv{i}")(x)
                 x = nn.relu(x)
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
         # (B, T', M', C) -> (B, T', C * M') channel-major (models.py:54-57)
@@ -297,12 +321,18 @@ class CNNAudioGRU(nn.Module):
 
         # Additive attention pooling (softmax in fp32).
         scores = nn.Dense(1, dtype=self.compute_dtype,
-                          param_dtype=jnp.float32, name="attention")(x)
+                          param_dtype=jnp.float32,
+                          kernel_init=_torch_kernel_init,
+                          bias_init=_torch_bias_init(x.shape[-1]),
+                          name="attention")(x)
         weights = jax.nn.softmax(scores.astype(jnp.float32), axis=1)
         pooled = jnp.sum(x.astype(jnp.float32) * weights, axis=1)
 
         logits = nn.Dense(self.num_classes, dtype=jnp.float32,
-                          param_dtype=jnp.float32, name="fc")(pooled)
+                          param_dtype=jnp.float32,
+                          kernel_init=_torch_kernel_init,
+                          bias_init=_torch_bias_init(pooled.shape[-1]),
+                          name="fc")(pooled)
         return logits
 
 

@@ -98,6 +98,50 @@ class TestShapes:
         assert np.isfinite(np.asarray(logits)).all()
 
 
+class TestInitParity:
+    """Default init distributions match torch module defaults.
+
+    The reference never re-initializes (models.py:10-39), so its training
+    behavior includes torch's defaults: kaiming_uniform(a=sqrt(5)) kernels
+    == U(+-1/sqrt(fan_in)) for Conv2d/Linear (plus the same bound on Linear
+    biases), U(+-1/sqrt(H)) for every GRU tensor.  Pin bound and spread
+    (uniform std = bound/sqrt(3)) per tensor against the live torch model."""
+
+    def test_init_matches_torch_defaults(self):
+        torch = pytest.importorskip("torch")
+        torch.manual_seed(0)
+        ref = _make_torch_reference(19)
+        model = CNNAudioGRU(num_classes=19)
+        params = init_model(model, jax.random.key(0))["params"]
+
+        pairs = [
+            ("conv1.weight", params["conv1"]["kernel"]),
+            ("conv2.weight", params["conv2"]["kernel"]),
+            ("conv3.weight", params["conv3"]["kernel"]),
+            ("attention.weight", params["attention"]["kernel"]),
+            ("attention.bias", params["attention"]["bias"]),
+            ("fc.weight", params["fc"]["kernel"]),
+            ("fc.bias", params["fc"]["bias"]),
+            ("gru.weight_ih_l0", params["gru"]["l0_fwd_w_ih"]),
+            ("gru.weight_hh_l1_reverse", params["gru"]["l1_bwd_w_hh"]),
+            ("gru.bias_ih_l0", params["gru"]["l0_fwd_b_ih"]),
+        ]
+        sd = ref.state_dict()
+        for tname, ours in pairs:
+            theirs = sd[tname].detach().numpy()
+            bound = float(np.abs(theirs).max())
+            arr = np.asarray(ours)
+            # same support ...
+            assert np.abs(arr).max() <= bound * 1.10, tname
+            if arr.size < 50:  # too few draws for spread statistics
+                continue
+            # ... actually filling it (rules out a narrower distribution)
+            assert np.abs(arr).max() >= bound * 0.80, tname
+            # same spread: uniform std = bound / sqrt(3)
+            assert np.isclose(arr.std(), theirs.std(), rtol=0.25), (
+                tname, arr.std(), theirs.std())
+
+
 class TestBatchNormFolding:
     def test_folded_logits_match(self, rng):
         from speech_intent_recognizer_tpu.models.cnn_gru import fold_batchnorm
