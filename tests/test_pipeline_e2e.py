@@ -134,18 +134,41 @@ class TestPipeline:
         assert 0.0 <= result["accuracy"] <= 1.0
         assert len(result["rows"]) == 95
 
-    def test_trained_model_beats_chance_on_train_split(self, e2e_result):
-        """2 epochs on 57 samples won't generalize, but must beat chance on
-        data it saw — catches silent training breakage."""
+    def test_training_made_progress(self, e2e_result):
+        """Catches silent training breakage via loss progress, not accuracy.
+
+        The original bar here ("best checkpoint beats chance on its own
+        train split") is unattainable under this debug recipe in EITHER
+        framework: a torch control with the identical recipe (reference
+        model + defaults, 5 epochs, batch 8, lr 3e-3, wd 1e-4, clip 1.0,
+        dropout 0.5, these exact 57 cached features) scored best-ckpt
+        train accuracies of 0.070/0.070/0.105/0.053 over 4 seeds — seed 3
+        exactly chance (BENCH_NOTES.md "e2e beats-chance control").  The
+        pre-d816716 pass was a lucky draw from the 3x-variance lecun init.
+        What IS deterministic across both frameworks is loss progress:
+        measured train-loss decrease over the 5 epochs was 0.79 (jax) and
+        0.55-0.98 (torch, 4 seeds); a silently-broken step (dead grads,
+        optimizer not applied) holds loss flat at ln(19)+dropout noise.
+        """
+        import json as _json
+
         from speech_intent_recognizer_tpu.cli.evaluate import (
             evaluate_from_config)
         from speech_intent_recognizer_tpu.config.loader import load_config
 
         w = e2e_result
+        with open(w / "ckpt" / "training_history.json") as f:
+            hist = _json.load(f)["history"]
+        assert len(hist) == 5
+        first, last = hist[0]["train_loss"], hist[-1]["train_loss"]
+        assert last < first - 0.3, (
+            f"train loss did not improve: {first:.3f} -> {last:.3f}")
+        # exercise the eval CLI on the train split end-to-end
         cfg = load_config(str(w / "config.json"))
         r = evaluate_from_config(
             cfg, str(w / "processed" / "train_data.csv"),
             str(w / "label_map.json"),
             str(w / "ckpt" / "best_model.msgpack"),
             results_dir=str(w / "train_eval"))
-        assert r["accuracy"] > 1.0 / 19
+        assert 0.0 <= r["accuracy"] <= 1.0
+        assert len(r["predictions"]) == 57
