@@ -142,13 +142,94 @@ def _gru_layer_call(gx, w, bn, interpret):
     return out[:, :t_len, :b]
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _gru_layer_diff(gx, w, bn, interpret):
+    """Differentiable wrapper: Pallas forward, exact reverse-time VJP.
+
+    The backward pass recomputes the per-step gates from (gx, w, ys) —
+    residuals are just the forward's own inputs and outputs, no extra
+    kernel traffic — and runs the adjoint recurrence as a `lax.scan` in
+    reversed time (one recompute dot + one adjoint dot + one weight-grad
+    dot per step, the same arithmetic the scan implementation's autodiff
+    produces).  This is what lets ``gru_impl="pallas"`` train; gradient
+    parity vs the scan path is pinned in ``tests/test_gru_pallas.py``.
+    """
+    return _gru_layer_call(gx, w, bn, interpret)
+
+
+def _gru_layer_diff_fwd(gx, w, bn, interpret):
+    ys = _gru_layer_call(gx, w, bn, interpret)
+    return ys, (gx, w, bn, ys)
+
+
+def _gru_layer_diff_bwd(interpret, res, dys):
+    gx, w, bn, ys = res
+    two, t_len, b, three_h = gx.shape
+    hidden = three_h // 3
+    f32 = jnp.float32
+
+    # h_{t-1} sequence: zeros at t=0, then ys shifted by one step
+    h_prev_seq = jnp.concatenate(
+        [jnp.zeros((two, 1, b, hidden), ys.dtype), ys[:, :-1]], axis=1)
+
+    wf = w.astype(f32)
+    bnf = bn.astype(f32)  # (2, 1, H)
+
+    def step(carry, xs):
+        dh, dw_acc, dbn_acc = carry
+        gx_t, h_prev, dys_t = xs  # (2, B, 3H), (2, B, H), (2, B, H)
+        gx_t = gx_t.astype(f32)
+        h_prev = h_prev.astype(f32)
+        gh = jax.lax.dot_general(
+            h_prev, wf, dimension_numbers=(((2,), (1,)), ((0,), (0,))))
+        r = jax.nn.sigmoid(gx_t[..., :hidden] + gh[..., :hidden])
+        z = jax.nn.sigmoid(gx_t[..., hidden:2 * hidden]
+                           + gh[..., hidden:2 * hidden])
+        ghn_b = gh[..., 2 * hidden:] + bnf
+        n = jnp.tanh(gx_t[..., 2 * hidden:] + r * ghn_b)
+
+        dh_tot = dh + dys_t.astype(f32)
+        dn = dh_tot * (1.0 - z)
+        dz = dh_tot * (h_prev - n)
+        dh_prev = dh_tot * z
+        da_n = dn * (1.0 - n * n)
+        dr = da_n * ghn_b
+        dghn = da_n * r
+        da_r = dr * r * (1.0 - r)
+        da_z = dz * z * (1.0 - z)
+        dgx_t = jnp.concatenate([da_r, da_z, da_n], axis=-1)
+        dgh = jnp.concatenate([da_r, da_z, dghn], axis=-1)
+        # dh_prev += dgh @ w^T    (contract the 3H axis)
+        dh_prev = dh_prev + jax.lax.dot_general(
+            dgh, wf, dimension_numbers=(((2,), (2,)), ((0,), (0,))))
+        # dw += h_prev^T @ dgh    (batch-contracted outer product)
+        dw_acc = dw_acc + jax.lax.dot_general(
+            h_prev, dgh, dimension_numbers=(((1,), (1,)), ((0,), (0,))))
+        dbn_acc = dbn_acc + jnp.sum(dghn, axis=1, keepdims=True)
+        return (dh_prev, dw_acc, dbn_acc), dgx_t
+
+    init = (jnp.zeros((two, b, hidden), f32),
+            jnp.zeros((two, hidden, three_h), f32),
+            jnp.zeros((two, 1, hidden), f32))
+    xs = (jnp.swapaxes(gx, 0, 1), jnp.swapaxes(h_prev_seq, 0, 1),
+          jnp.swapaxes(dys, 0, 1))
+    (_, dw, dbn), dgx_t = jax.lax.scan(step, init, xs, reverse=True,
+                                       unroll=min(t_len, 32))
+    dgx = jnp.swapaxes(dgx_t, 0, 1).astype(gx.dtype)
+    return dgx, dw.astype(w.dtype), dbn.astype(bn.dtype)
+
+
+_gru_layer_diff.defvjp(_gru_layer_diff_fwd, _gru_layer_diff_bwd)
+
+
 def gru_bidirectional_pallas(gx_fwd, gx_bwd, w_hh_fwd, w_hh_bwd,
                              b_hh_fwd, b_hh_bwd, hidden: int):
-    """Drop-in replacement for the scan recurrence (inference only).
+    """Drop-in replacement for the scan recurrence.
 
     Args/returns match ``models.cnn_gru._gru_bidirectional_scan``:
     gx_*: (T, B, 3H) input projections (``x @ W_ih^T + b_ih``); returns
-    (ys_fwd, ys_bwd) each (T, B, H) in forward time order.
+    (ys_fwd, ys_bwd) each (T, B, H) in forward time order.  Differentiable
+    (custom VJP: Pallas forward, exact adjoint recurrence backward).
     """
     # fold only the r/z parts of b_hh into gx; b_hn stays inside r*(...)
     rz_f = jnp.concatenate([b_hh_fwd[: 2 * hidden],
@@ -160,5 +241,5 @@ def gru_bidirectional_pallas(gx_fwd, gx_bwd, w_hh_fwd, w_hh_bwd,
     bn = jnp.stack([b_hh_fwd[2 * hidden :], b_hh_bwd[2 * hidden :]],
                    axis=0)[:, None, :].astype(jnp.float32)
     interpret = jax.default_backend() != "tpu"
-    ys = _gru_layer_call(gx, w, bn, interpret)
+    ys = _gru_layer_diff(gx, w, bn, interpret)
     return ys[0].astype(gx_fwd.dtype), ys[1][::-1].astype(gx_fwd.dtype)
