@@ -33,11 +33,21 @@ def main(argv=None):
                    choices=["cnn_gru", "wav2vec"])
     p.add_argument("--platforms", nargs="*", default=None,
                    help="lowering platforms (default: current backend + cpu)")
+    p.add_argument("--flavor", default="portable",
+                   choices=["portable", "production"],
+                   help="portable: XLA path, symbolic batch, any platform; "
+                        "production: the TPU Pallas fast path, one program "
+                        "per --batch_sizes entry (TPU-only)")
+    p.add_argument("--batch_sizes", nargs="*", type=int,
+                   default=[8, 256, 2048],
+                   help="pinned batch sizes for --flavor production")
     args = p.parse_args(argv)
     cfg = load_config_or_default(args.config)
     predictor = make_predictor(args.model, args.label_map, cfg,
                                model_type=args.model_type)
-    out = export_predictor(predictor, args.out, platforms=args.platforms)
+    out = export_predictor(predictor, args.out, platforms=args.platforms,
+                           flavor=args.flavor,
+                           batch_sizes=tuple(args.batch_sizes))
     logger.info("serving artifact written to %s", out)
     return 0
 

@@ -19,11 +19,18 @@ Weights stay OUTSIDE the program (they are call arguments), so a
 fine-tuned checkpoint can be dropped into an existing artifact without
 re-exporting.
 
-The exported program uses the XLA front-end backend: Pallas kernel custom
-calls are TPU-hardware-specific, while the XLA path lowers to portable
-StableHLO that runs on any platform jax.export supports (and XLA re-fuses
-it on load).  Serving parity vs the live Predictor is tested in
-``tests/test_export_serving.py``.
+Two flavors:
+
+* ``portable`` (default) — the XLA front-end path, symbolic batch, runs
+  on any platform jax.export supports (XLA re-fuses it on load).
+* ``production`` — the predictor's real TPU path (fused frontend+conv1
+  Pallas kernel, bf16 variant model, Pallas GRU), one program per pinned
+  batch size (Pallas custom calls cannot take a symbolic batch through
+  the kernel grid); TPU-only, requires the same TPU generation at load.
+
+Serving parity vs the live Predictor is tested in
+``tests/test_export_serving.py``; the production flavor's measured
+throughput vs the live Predictor is recorded in BENCH_NOTES.md round 4.
 """
 
 from __future__ import annotations
@@ -76,35 +83,77 @@ def _fused_fn(predictor):
 
 
 def export_predictor(predictor, out_dir: str,
-                     platforms: Optional[list] = None) -> str:
+                     platforms: Optional[list] = None,
+                     flavor: str = "portable",
+                     batch_sizes: tuple = (8, 256, 2048)) -> str:
     """Export a (Wav2Vec)Predictor's fused serving path to ``out_dir``.
 
-    ``platforms`` defaults to the current backend plus "cpu" (dev hosts
-    can smoke-test a TPU artifact).  Returns ``out_dir``.
+    ``flavor="portable"`` (default): XLA front-end, symbolic batch,
+    portable StableHLO for ``platforms`` (defaults to the current backend
+    plus "cpu").
+
+    ``flavor="production"``: the predictor's ACTUAL production path
+    (``Predictor._fused_body`` — fused frontend+conv1 Pallas kernel,
+    bf16 conv1-external variant model, Pallas GRU), TPU-only.  Pallas
+    lowers to ``tpu_custom_call``, which is not on jax.export's custom-call
+    stability allowlist and cannot take a symbolic batch through the kernel
+    grid, so this flavor serializes one program per ``batch_sizes`` entry
+    (``program_b{N}.jaxexp``); ``ServingModel`` routes each request to the
+    smallest adequate batch.  The stored weights are the variant pytree —
+    drop-in weight swaps need the same BN-fold + conv1-externalization
+    transform (``Predictor.from_checkpoint`` + re-export is simplest).
+
+    Returns ``out_dir``.
     """
     from flax import serialization
 
     from jax import export as jexp
 
     os.makedirs(out_dir, exist_ok=True)
-    fused = _fused_fn(predictor)
     cfg = predictor.audio_cfg
     width = predictor._buffer_width()
 
-    plats = platforms or sorted({jax.default_backend(), "cpu"})
-    b = jexp.symbolic_shape("b")[0]
-    wf_spec = jax.ShapeDtypeStruct((b, width), jnp.float32)
-    ln_spec = jax.ShapeDtypeStruct((b,), jnp.int32)
-    var_specs = jax.tree.map(
-        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
-        predictor.variables)
-    exported = jexp.export(jax.jit(fused), platforms=plats)(
-        var_specs, wf_spec, ln_spec)
-    with open(os.path.join(out_dir, _PROGRAM), "wb") as f:
-        f.write(exported.serialize())
+    if flavor == "production":
+        fused, variables = predictor._fused_body()
+        plats = ["tpu"]
+        checks = [jexp.DisabledSafetyCheck.custom_call("tpu_custom_call"),
+                  jexp.DisabledSafetyCheck.custom_call(
+                      "mosaic_tpu")]  # Mosaic call-target names by version
+        var_specs = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x),
+                                           jnp.asarray(x).dtype),
+            variables)
+        programs = {}
+        for bs in sorted(set(int(b) for b in batch_sizes)):
+            wf_spec = jax.ShapeDtypeStruct((bs, width), jnp.float32)
+            ln_spec = jax.ShapeDtypeStruct((bs,), jnp.int32)
+            exported = jexp.export(
+                jax.jit(fused), platforms=plats,
+                disabled_checks=checks)(var_specs, wf_spec, ln_spec)
+            name = f"program_b{bs}.jaxexp"
+            with open(os.path.join(out_dir, name), "wb") as f:
+                f.write(exported.serialize())
+            programs[str(bs)] = name
+        extra = {"flavor": "production", "programs": programs}
+    else:
+        fused = _fused_fn(predictor)
+        variables = predictor.variables
+        plats = platforms or sorted({jax.default_backend(), "cpu"})
+        b = jexp.symbolic_shape("b")[0]
+        wf_spec = jax.ShapeDtypeStruct((b, width), jnp.float32)
+        ln_spec = jax.ShapeDtypeStruct((b,), jnp.int32)
+        var_specs = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x),
+                                           jnp.asarray(x).dtype),
+            variables)
+        exported = jexp.export(jax.jit(fused), platforms=plats)(
+            var_specs, wf_spec, ln_spec)
+        with open(os.path.join(out_dir, _PROGRAM), "wb") as f:
+            f.write(exported.serialize())
+        extra = {"flavor": "portable"}
 
     with open(os.path.join(out_dir, _VARIABLES), "wb") as f:
-        f.write(serialization.to_bytes(predictor.variables))
+        f.write(serialization.to_bytes(variables))
     with open(os.path.join(out_dir, _LABELS), "w") as f:
         json.dump(predictor.label_map, f, indent=2)
     with open(os.path.join(out_dir, _MANIFEST), "w") as f:
@@ -123,6 +172,7 @@ def export_predictor(predictor, out_dir: str,
                 "max_samples": cfg.max_samples,
                 "frontend": cfg.frontend,
             },
+            **extra,
         }, f, indent=2)
     return out_dir
 
@@ -137,9 +187,22 @@ class ServingModel:
 
     def __init__(self, exported, variables, label_map: Dict[str, int],
                  manifest: Dict):
-        self._exported = exported
-        self._call = jax.jit(exported.call)
-        self.variables = variables
+        if isinstance(exported, dict):  # production flavor: batch -> program
+            self._programs = dict(sorted(exported.items()))
+            self._calls = {b: jax.jit(e.call)
+                           for b, e in self._programs.items()}
+            first = next(iter(self._programs.values()))
+            self._exported = first
+        else:
+            self._programs = None
+            self._exported = exported
+            self._call = jax.jit(exported.call)
+        # Keep the weights device-resident: ``load`` deserializes them as
+        # host numpy arrays, and passing those to a jitted call re-uploads
+        # ~13 MB per request (on a tunneled accelerator that transfer alone
+        # dwarfs the compute — measured 15x throughput loss in
+        # bench_artifact.py before this device_put).
+        self.variables = jax.device_put(variables)
         self.label_map = label_map
         self.inv_label_map = {v: k for k, v in label_map.items()}
         self.manifest = manifest
@@ -151,31 +214,43 @@ class ServingModel:
 
         from jax import export as jexp
 
-        with open(os.path.join(artifact_dir, _PROGRAM), "rb") as f:
-            exported = jexp.deserialize(f.read())
         with open(os.path.join(artifact_dir, _MANIFEST)) as f:
             manifest = json.load(f)
         if manifest.get("format") != "sir_tpu.serving_export.v1":
             raise ValueError(
                 f"unrecognized artifact format in {artifact_dir}: "
                 f"{manifest.get('format')!r}")
+        if manifest.get("flavor") == "production":
+            exported = {}
+            for bs, name in manifest["programs"].items():
+                with open(os.path.join(artifact_dir, name), "rb") as f:
+                    exported[int(bs)] = jexp.deserialize(f.read())
+            sig_src = next(iter(exported.values()))
+        else:
+            with open(os.path.join(artifact_dir, _PROGRAM), "rb") as f:
+                exported = jexp.deserialize(f.read())
+            sig_src = exported
         with open(os.path.join(artifact_dir, _LABELS)) as f:
             label_map = json.load(f)
         with open(os.path.join(artifact_dir, _VARIABLES), "rb") as f:
             blob = f.read()
         # from_bytes needs the pytree structure: rebuild it from the
         # exported call signature's first argument tree.
-        treedef = exported.in_tree.children()[0].children()[0]
+        treedef = sig_src.in_tree.children()[0].children()[0]
         leaves = [
             np.zeros(s.shape, s.dtype)
-            for s in exported.in_avals[: treedef.num_leaves]]
+            for s in sig_src.in_avals[: treedef.num_leaves]]
         target = jax.tree.unflatten(treedef, leaves)
         variables = serialization.from_bytes(target, blob)
         return cls(exported, variables, label_map, manifest)
 
     def predict_waveform_batch(self, waveforms: np.ndarray,
                                lengths: np.ndarray) -> np.ndarray:
-        """(B, buffer_width) float32 + (B,) lengths -> (B, C) probs."""
+        """(B, buffer_width) float32 + (B,) lengths -> (B, C) probs.
+
+        Production-flavor artifacts route to the smallest exported batch
+        size that fits (padding rows, stripped from the result); requests
+        larger than the biggest program are processed in chunks."""
         wf = jnp.asarray(waveforms, jnp.float32)
         ln = jnp.asarray(lengths, jnp.int32)
         if wf.shape[1] != self.buffer_width:
@@ -185,4 +260,21 @@ class ServingModel:
                     f"waveform buffer {wf.shape[1]} exceeds the exported "
                     f"width {self.buffer_width}")
             wf = jnp.pad(wf, ((0, 0), (0, pad)))
-        return np.asarray(self._call(self.variables, wf, ln))
+        if self._programs is None:
+            return np.asarray(self._call(self.variables, wf, ln))
+        b = wf.shape[0]
+        sizes = list(self._calls)
+        bmax = sizes[-1]
+        outs = []
+        s = 0
+        while s < b:
+            n = min(b - s, bmax)
+            bs = next(sz for sz in sizes if sz >= n)
+            cw, cl = wf[s:s + n], ln[s:s + n]
+            if n < bs:
+                cw = jnp.pad(cw, ((0, bs - n), (0, 0)))
+                cl = jnp.pad(cl, (0, bs - n), constant_values=1)
+            outs.append(np.asarray(
+                self._calls[bs](self.variables, cw, cl))[:n])
+            s += n
+        return np.concatenate(outs, axis=0)

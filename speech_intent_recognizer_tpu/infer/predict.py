@@ -206,6 +206,15 @@ class Predictor:
             out_specs=P(DATA_AXIS), check_vma=False))
 
     def _build(self):
+        fn, variables = self._fused_body()
+        return self._finalize(fn), variables
+
+    def _fused_body(self):
+        """The un-jitted production path: (variables, waveforms, lengths)
+        -> probabilities, plus the variables pytree it serves.  Shared by
+        the live jitted path (`_build`) and the AOT production export
+        (`infer/export.py`), so the deployed artifact is the same program
+        the benchmark measures."""
         fe = self.frontend_params
         if self._conv23 is not None:
             from speech_intent_recognizer_tpu.ops.conv23_pallas import (
@@ -221,7 +230,7 @@ class Predictor:
                 logits = head.apply(variables, feats, train=False)
                 return jax.nn.softmax(logits, axis=-1)
 
-            return self._finalize(fused_conv23), head_vars
+            return fused_conv23, head_vars
         if self._conv1 is not None:
             from speech_intent_recognizer_tpu.ops.frontend_jax import (
                 log_mel_conv1_frontend)
@@ -233,7 +242,7 @@ class Predictor:
                 logits = variant.apply(variables, pooled, train=False)
                 return jax.nn.softmax(logits, axis=-1)
 
-            return self._finalize(fused_conv1), variant_vars
+            return fused_conv1, variant_vars
 
         model = self.model
 
@@ -242,7 +251,7 @@ class Predictor:
             logits = model.apply(variables, feats, train=False)
             return jax.nn.softmax(logits, axis=-1)
 
-        return self._finalize(fused), self.variables
+        return fused, self.variables
 
     def predict_waveform_batch(self, waveforms: np.ndarray,
                                lengths: np.ndarray) -> np.ndarray:
@@ -395,7 +404,7 @@ class Wav2VecPredictor(Predictor):
         return cls(model, {"params": params}, label_map, audio_cfg,
                    mesh=mesh)
 
-    def _build(self):
+    def _fused_body(self):
         model = self.model
 
         def fused(variables, waveforms, lengths):
@@ -404,7 +413,7 @@ class Wav2VecPredictor(Predictor):
             logits = model.apply(variables, waveforms, mask, train=False)
             return jax.nn.softmax(logits, axis=-1)
 
-        return self._finalize(fused), self.variables
+        return fused, self.variables
 
     def _buffer_width(self) -> int:
         return self.audio_cfg.max_samples  # raw-waveform model: no framing

@@ -125,3 +125,62 @@ class TestWav2VecExport:
         ref = pred.predict_waveform_batch(wf, ln)
         got = srv.predict_waveform_batch(wf, ln)
         np.testing.assert_allclose(ref, got, rtol=2e-4, atol=2e-5)
+
+
+class TestProductionFlavor:
+    def test_batch_routing_and_chunking(self, predictor, rng, tmp_path,
+                                        monkeypatch):
+        """The multi-program routing logic (smallest adequate batch,
+        chunked oversize requests) must be exercisable off-TPU: fake the
+        per-batch programs with the live fused fn pinned at each size."""
+        import jax.numpy as jnp
+
+        from speech_intent_recognizer_tpu.infer.export import ServingModel
+
+        fn, variables = predictor._fused_body()
+        width = predictor._buffer_width()
+
+        class FakeExported:
+            def __init__(self, bs):
+                self.bs = bs
+
+            def call(self, v, wf, ln):
+                assert wf.shape[0] == self.bs, (wf.shape, self.bs)
+                return fn(v, wf, ln)
+
+        srv = ServingModel.__new__(ServingModel)
+        ServingModel.__init__(
+            srv, {4: FakeExported(4), 16: FakeExported(16)}, variables,
+            predictor.label_map,
+            {"buffer_width": width, "flavor": "production"})
+        for b in (1, 4, 9, 16, 21, 37):
+            wf = (rng.standard_normal((b, width)) * 0.1).astype(np.float32)
+            ln = rng.integers(16000, predictor.audio_cfg.max_samples,
+                              b).astype(np.int32)
+            ref = predictor.predict_waveform_batch(wf, ln)
+            got = srv.predict_waveform_batch(wf, ln)
+            assert got.shape == (b, 5)
+            np.testing.assert_allclose(ref, got, rtol=2e-4, atol=2e-5)
+
+    def test_production_export_on_tpu(self):
+        """Real Pallas-path export+reload parity; runs on the TPU in a
+        fresh subprocess (the suite itself is CPU-pinned), skips cleanly
+        when the accelerator is unavailable."""
+        import subprocess
+        import sys as _sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("JAX_PLATFORMS",)}
+        flags = [f for f in env.get("XLA_FLAGS", "").split()
+                 if "xla_force_host_platform_device_count" not in f]
+        env["XLA_FLAGS"] = " ".join(flags)
+        script = os.path.join(repo, "examples", "export_production.py")
+        proc = subprocess.run(
+            [_sys.executable, script, "--smoke"],
+            env=env, cwd=repo, capture_output=True, text=True, timeout=900)
+        if proc.returncode == 3:
+            pytest.skip("no TPU available for production export")
+        assert proc.returncode == 0, (
+            f"production export failed:\n{proc.stdout[-2000:]}\n"
+            f"{proc.stderr[-2000:]}")
