@@ -82,13 +82,69 @@ def main() -> int:
         latencies.append(t_end_of_speech * 1000.0)
 
     lat = np.asarray(latencies)
+
+    # ---- latency decomposition: link RTT vs device compute ----
+    # On this container the accelerator sits behind a shared tunnel whose
+    # round-trip dominates single-shot latency; report the components so
+    # the artifact states what a serving host would actually see.
+    import jax.numpy as jnp
+
+    # (a) minimal round trip: dispatch a trivial jitted op + sync a scalar
+    tiny = jax.jit(lambda s: s + 1.0)
+    x = jnp.float32(0)
+    float(tiny(x))  # compile
+    rtts = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        x = tiny(x)
+        float(x)
+        rtts.append((time.perf_counter() - t0) * 1000.0)
+    rtt_p50 = float(np.percentile(rtts, 50))
+
+    # (b) pure device cost of one fused finalize: chain K calls through a
+    # scalar carry (one sync total), so per-call dispatch/RTT amortizes
+    # away — the same methodology as bench_serve's chip ceiling.
+    run = rec._shared_jit("fused_finalize", rec._build_fused_finalize)
+    fz = rec._featurizer
+    tmax, n_mels = fz.params.target_length, fz.params.n_mels
+    mel_buf = jnp.asarray(rng.standard_normal((tmax, n_mels)),
+                          jnp.float32)
+    tail = jnp.zeros((rec._TAIL_MAX, fz.n_fft), jnp.float32)
+
+    chained = jax.jit(
+        lambda v, mb, c, t, n, s:
+        jnp.sum(run(v, mb + 0 * s, c, t, n)) + s)
+    float(chained(predictor.variables, mel_buf, jnp.int32(100), tail,
+                  jnp.int32(1), jnp.float32(0)))  # compile
+    k = 50
+    best_dev = float("inf")
+    for _ in range(3):
+        s = jnp.float32(0)
+        t0 = time.perf_counter()
+        for _ in range(k):
+            s = chained(predictor.variables, mel_buf, jnp.int32(100),
+                        tail, jnp.int32(1), s)
+        float(s)
+        best_dev = min(best_dev, (time.perf_counter() - t0) / k)
+    device_ms = best_dev * 1000.0
+
+    p50 = float(np.percentile(lat, 50))
     print(json.dumps({
         "metric": "streaming_end_of_speech_latency",
-        "value": round(float(np.percentile(lat, 50)), 2),
+        "value": round(p50, 2),
         "unit": "ms (p50)",
         "vs_baseline": None,
         "detail": {"p90_ms": round(float(np.percentile(lat, 90)), 2),
-                   "n": len(latencies)},
+                   "n": len(latencies),
+                   "link_rtt_p50_ms": round(rtt_p50, 2),
+                   "device_compute_ms_per_finalize": round(device_ms, 3),
+                   "host_plus_queue_ms": round(
+                       max(p50 - rtt_p50 - device_ms, 0.0), 2),
+                   "note": "p50 through this container's shared tunnel; "
+                           "device_compute is an upper bound (chained "
+                           "dispatch cost at B=1 does not fully amortize "
+                           "over the tunnel); a local-chip serving host "
+                           "sees ~device_compute + sub-ms host feed"},
     }))
     return 0
 
