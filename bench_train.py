@@ -19,7 +19,20 @@ import time
 import numpy as np
 
 
-def main() -> int:
+def main(argv=None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--recipe", choices=["reference", "large_batch"],
+                    default="reference",
+                    help="reference: the torch recipe verbatim (batch 16, "
+                         "1,446 dispatches/epoch — the chip is idle most "
+                         "of each step); large_batch: the TPU-native "
+                         "recipe (configs/large_batch.yaml: batch 1024, "
+                         "warmup+cosine), accuracy-validated on the "
+                         "powered A/B corpus (BENCH_NOTES.md round 4)")
+    args = ap.parse_args(argv)
+
     import jax
 
     from speech_intent_recognizer_tpu.utils.platform import configure_jax
@@ -34,8 +47,10 @@ def main() -> int:
         create_optimizer, create_train_state)
 
     n_train, n_valid, num_classes = 23_132, 3_118, 31
+    large = args.recipe == "large_batch"
     cfg = Config.from_dict({
-        "num_labels": num_classes, "epochs": 15, "batch_size": 16,
+        "num_labels": num_classes, "epochs": 15,
+        "batch_size": 1024 if large else 16,
         "lr": 5e-5, "weight_decay": 1e-4, "augment_prob": 0.7,
     })
     rng = np.random.default_rng(0)
@@ -48,9 +63,19 @@ def main() -> int:
 
     model = CNNAudioGRU(num_classes=num_classes,
                         compute_dtype=jnp.bfloat16)
-    tx = create_optimizer(lr=cfg.train.lr,
-                          weight_decay=cfg.train.weight_decay,
-                          grad_clip=cfg.train.grad_clip)
+    if large:
+        # warmup+cosine over the full horizon (the accuracy-validated
+        # large-batch recipe; lr value itself is timing-irrelevant here)
+        steps_per_epoch = -(-n_train // cfg.train.batch_size)
+        tx = create_optimizer(lr=4e-4, weight_decay=cfg.train.weight_decay,
+                              grad_clip=cfg.train.grad_clip,
+                              warmup_steps=max(steps_per_epoch, 20),
+                              schedule="cosine",
+                              total_steps=cfg.train.epochs * steps_per_epoch)
+    else:
+        tx = create_optimizer(lr=cfg.train.lr,
+                              weight_decay=cfg.train.weight_decay,
+                              grad_clip=cfg.train.grad_clip)
     state = create_train_state(model, jax.random.key(0), tx)
     trainer = Trainer(model, cfg, num_classes=num_classes, tx=tx)
     epoch_fn = trainer._build_epoch_fn()
@@ -83,9 +108,11 @@ def main() -> int:
     print(json.dumps({
         "metric": "projected_full_fsc_training_time",
         "value": round(projected, 2),
-        "unit": "seconds (15 epochs, 23k utts, batch 16, 1 chip)",
+        "unit": (f"seconds (15 epochs, 23k utts, "
+                 f"batch {cfg.train.batch_size}, 1 chip)"),
         "vs_baseline": round(300.0 / max(projected, 1e-9), 2),
         "detail": {
+            "recipe": args.recipe,
             "epoch_seconds": round(epoch_s, 3),
             "validation_seconds": round(val_s, 3),
             "first_epoch_with_compile": round(compile_and_first, 2),

@@ -26,7 +26,7 @@ from speech_intent_recognizer_tpu.parallel.sharding import place_params
 from speech_intent_recognizer_tpu.train.checkpoint import Checkpointer
 from speech_intent_recognizer_tpu.train.loop import Trainer
 from speech_intent_recognizer_tpu.train.state import (
-    create_optimizer, create_train_state)
+    create_train_state, optimizer_from_config)
 
 
 def train_from_config(cfg, train_csv=None, val_csv=None, label_map_path=None,
@@ -62,9 +62,7 @@ def train_from_config(cfg, train_csv=None, val_csv=None, label_map_path=None,
         dropout=cfg.model.dropout,
         compute_dtype=compute_dtype,
     )
-    tx = create_optimizer(lr=cfg.train.lr,
-                          weight_decay=cfg.train.weight_decay,
-                          grad_clip=cfg.train.grad_clip)
+    tx = optimizer_from_config(cfg, train_ds.num_items)
     state = create_train_state(
         model, jax.random.key(cfg.train.seed), tx,
         input_shape=(1, cfg.audio.n_mels, cfg.audio.mel_spec_length))

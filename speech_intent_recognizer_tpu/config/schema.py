@@ -127,6 +127,11 @@ class TrainConfig:
     keep_checkpoints: int = 3
     eval_batch_multiplier: int = 2  # reference validates at 2x batch (train.py:214)
     log_every: int = 10
+    # TPU-native large-batch recipe (BENCH_NOTES.md round 4): linear warmup
+    # + optional cosine decay. Defaults reproduce the reference's constant-LR
+    # Adam; the validated large-batch recipe is configs/large_batch.yaml.
+    warmup_steps: int = 0
+    lr_schedule: str = "constant"  # "constant" | "cosine"
 
 
 @dataclass
@@ -186,6 +191,8 @@ _FLAT_KEY_MAP = {
     "resume": ("train", "resume"),
     "bf16": ("train", "bf16"),
     "log_every": ("train", "log_every"),
+    "warmup_steps": ("train", "warmup_steps"),
+    "lr_schedule": ("train", "lr_schedule"),
     # audio
     "sample_rate": ("audio", "sample_rate"),
     "n_mels": ("audio", "n_mels"),

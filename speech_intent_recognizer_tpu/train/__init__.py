@@ -2,6 +2,7 @@ from speech_intent_recognizer_tpu.train.state import (
     TrainState,
     create_optimizer,
     create_train_state,
+    optimizer_from_config,
 )
 from speech_intent_recognizer_tpu.train.loop import Trainer, TrainResult
 
@@ -11,4 +12,5 @@ __all__ = [
     "TrainResult",
     "create_optimizer",
     "create_train_state",
+    "optimizer_from_config",
 ]
