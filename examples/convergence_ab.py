@@ -40,6 +40,25 @@ BATCH = 8
 NUM_CLASSES = 19
 
 
+def load_features_npz(path: str, holdout_frac: float):
+    """Load a precomputed feature corpus (features/labels npz) and make a
+    deterministic stratified holdout split (same arrays for both sides)."""
+    d = np.load(path)
+    feats = d["features"].astype(np.float32)
+    labels = d["labels"].astype(np.int64)
+    rng = np.random.default_rng(0)
+    tr, he = [], []
+    for c in np.unique(labels):
+        idx = np.flatnonzero(labels == c)
+        rng.shuffle(idx)
+        k = max(1, int(round(len(idx) * holdout_frac)))
+        he.extend(idx[:k])
+        tr.extend(idx[k:])
+    tr = np.sort(np.asarray(tr))
+    he = np.sort(np.asarray(he))
+    return feats[tr], labels[tr], feats[he], labels[he]
+
+
 def load_corpus(mic_dir: str):
     """Decode the 95 recordings -> golden features; 4/1 variant split."""
     from speech_intent_recognizer_tpu.data.audio_io import load_audio
@@ -69,8 +88,11 @@ def load_corpus(mic_dir: str):
 
 
 def train_torch(feats, labels, v_feats, v_labels, epochs: int,
-                seed: int = 0) -> float:
-    """Faithful replica of the reference loop (scripts/train.py:164-302)."""
+                seed: int = 0, lr: float = LR, batch: int = BATCH):
+    """Faithful replica of the reference loop (scripts/train.py:164-302).
+
+    Returns (best held-out acc, per-epoch held-out curve).
+    """
     import torch
 
     torch.set_num_threads(1)  # the 1-core host thrashes on torch's default
@@ -105,17 +127,17 @@ def train_torch(feats, labels, v_feats, v_labels, epochs: int,
 
     torch.manual_seed(100 * seed)
     model = Ref()
-    opt = torch.optim.Adam(model.parameters(), lr=LR, weight_decay=WD)
+    opt = torch.optim.Adam(model.parameters(), lr=lr, weight_decay=WD)
     loss_fn = nn.CrossEntropyLoss()
     g = torch.Generator().manual_seed(100 * seed + 1)
     xv = torch.from_numpy(v_feats)
     yv = torch.from_numpy(v_labels)
-    best = 0.0
+    curve = []
     for _epoch in range(epochs):
         model.train()
         order = torch.randperm(len(feats), generator=g)
-        for s in range(0, len(feats), BATCH):
-            idx = order[s : s + BATCH].numpy()
+        for s in range(0, len(feats), batch):
+            idx = order[s : s + batch].numpy()
             opt.zero_grad()
             loss_fn(model(torch.from_numpy(feats[idx])),
                     torch.from_numpy(labels[idx])).backward()
@@ -123,14 +145,21 @@ def train_torch(feats, labels, v_feats, v_labels, epochs: int,
             opt.step()
         model.eval()
         with torch.no_grad():
-            acc = float((model(xv).argmax(1) == yv).float().mean())
-        best = max(best, acc)
-    return best
+            accs = []
+            for s in range(0, len(v_feats), 256):
+                accs.append((model(xv[s:s + 256]).argmax(1)
+                             == yv[s:s + 256]).float().sum())
+            curve.append(float(sum(accs)) / len(v_feats))
+    return max(curve), curve
 
 
 def train_jax(feats, labels, v_feats, v_labels, epochs: int,
-              seed: int = 0) -> float:
-    """The real Trainer.fit with the identical recipe."""
+              seed: int = 0, lr: float = LR, batch: int = BATCH,
+              warmup_steps: int = 0, lr_schedule: str = "constant"):
+    """The real Trainer.fit with the identical recipe.
+
+    Returns (best held-out acc, per-epoch held-out curve).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -142,30 +171,59 @@ def train_jax(feats, labels, v_feats, v_labels, epochs: int,
 
     model = CNNAudioGRU(num_classes=NUM_CLASSES)  # architecture dropout 0.5
     cfg = Config.from_dict({
-        "num_labels": NUM_CLASSES, "epochs": epochs, "batch_size": BATCH,
-        "lr": LR, "weight_decay": WD, "grad_clip": CLIP, "bf16": False,
+        "num_labels": NUM_CLASSES, "epochs": epochs, "batch_size": batch,
+        "lr": lr, "weight_decay": WD, "grad_clip": CLIP, "bf16": False,
         "use_augmentation": False, "use_mixup": False,
         "seed": 100 * seed + 3,
         "early_stop_patience": epochs, "early_stop_delta": 0.0,
     })
-    tx = create_optimizer(lr=LR, weight_decay=WD, grad_clip=CLIP)
+    total_steps = epochs * -(-len(feats) // batch)
+    tx = create_optimizer(lr=lr, weight_decay=WD, grad_clip=CLIP,
+                          warmup_steps=warmup_steps, schedule=lr_schedule,
+                          total_steps=total_steps)
     state = create_train_state(model, jax.random.key(100 * seed + 42), tx)
     trainer = Trainer(model, cfg, tx=tx, num_classes=NUM_CLASSES)
     _, result = trainer.fit(
         state, jnp.asarray(feats), jnp.asarray(labels.astype(np.int32)),
         jnp.asarray(v_feats), jnp.asarray(v_labels.astype(np.int32)),
         log=lambda *_: None)
-    return float(result.best_val_acc)
+    curve = [e["val_acc"] for e in result.history]
+    return float(result.best_val_acc), curve
 
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--mic_dir", default="/root/reference/mic_recordings")
+    ap.add_argument("--features", default=None,
+                    help="precomputed features/labels npz (e.g. the "
+                         "3,040-utterance synthetic corpus) instead of "
+                         "decoding --mic_dir; enables a statistically "
+                         "powered holdout (~600 samples at 0.2 frac)")
+    ap.add_argument("--holdout_frac", type=float, default=0.2,
+                    help="stratified holdout fraction for --features mode")
     ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--batch", type=int, default=BATCH)
+    ap.add_argument("--lr", type=float, default=LR)
+    ap.add_argument("--warmup_steps", type=int, default=0,
+                    help="jax-side linear LR warmup (large-batch recipe)")
+    ap.add_argument("--lr_schedule", default="constant",
+                    choices=["constant", "cosine"],
+                    help="jax-side LR schedule (large-batch recipe)")
+    ap.add_argument("--seed_offset", type=int, default=0,
+                    help="first seed index (extend an existing seed "
+                         "sample without rerunning it)")
     ap.add_argument("--seeds", type=int, default=1,
                     help="run N independent seed pairs and report per-seed "
                          "accuracies plus means (default 1: the original "
                          "fixed-seed A/B)")
+    ap.add_argument("--side", choices=["both", "torch", "jax"],
+                    default="both",
+                    help="run only one framework's side (lets the slow "
+                         "torch-on-CPU side run in the background while "
+                         "the TPU does other work)")
+    ap.add_argument("--curves", action="store_true",
+                    help="include per-epoch held-out accuracy curves in "
+                         "the JSON (for seed-variance analysis)")
     ap.add_argument("--out", default=None, help="write result JSON here")
     ap.add_argument("--require-accel", action="store_true",
                     help="exit 3 if JAX has no accelerator (the JAX side "
@@ -175,7 +233,12 @@ def main(argv=None) -> int:
     from speech_intent_recognizer_tpu.utils.platform import (
         configure_jax, wait_for_backend)
 
-    if args.require_accel:
+    if args.side == "torch":
+        # pure-CPU side: never touch the accelerator backend
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    elif args.require_accel:
         # Tunnel outages can make backend init HANG (not fail) — probe in
         # killable subprocesses first so an unattended suite run skips in
         # bounded time instead of blocking on an in-process init.
@@ -198,35 +261,68 @@ def main(argv=None) -> int:
         print("no accelerator backend available", file=sys.stderr)
         return 3
 
-    feats, labels, v_feats, v_labels = load_corpus(args.mic_dir)
+    if args.features:
+        feats, labels, v_feats, v_labels = load_features_npz(
+            args.features, args.holdout_frac)
+    else:
+        feats, labels, v_feats, v_labels = load_corpus(args.mic_dir)
     jax_accs, torch_accs = [], []
+    jax_curves, torch_curves = [], []
     t_jax = t_torch = 0.0
-    for seed in range(args.seeds):
-        t0 = time.perf_counter()
-        jax_accs.append(train_jax(feats, labels, v_feats, v_labels,
-                                  args.epochs, seed=seed))
-        t_jax += time.perf_counter() - t0
-        t0 = time.perf_counter()
-        torch_accs.append(train_torch(feats, labels, v_feats, v_labels,
-                                      args.epochs, seed=seed))
-        t_torch += time.perf_counter() - t0
-    torch_acc = float(np.mean(torch_accs))
-    jax_acc = float(np.mean(jax_accs))
+    for seed in range(args.seed_offset, args.seed_offset + args.seeds):
+        if args.side in ("both", "jax"):
+            t0 = time.perf_counter()
+            acc, curve = train_jax(feats, labels, v_feats, v_labels,
+                                   args.epochs, seed=seed,
+                                   lr=args.lr, batch=args.batch,
+                                   warmup_steps=args.warmup_steps,
+                                   lr_schedule=args.lr_schedule)
+            jax_accs.append(acc)
+            jax_curves.append(curve)
+            t_jax += time.perf_counter() - t0
+        if args.side in ("both", "torch"):
+            t0 = time.perf_counter()
+            acc, curve = train_torch(feats, labels, v_feats, v_labels,
+                                     args.epochs, seed=seed,
+                                     lr=args.lr, batch=args.batch)
+            torch_accs.append(acc)
+            torch_curves.append(curve)
+            t_torch += time.perf_counter() - t0
+        print(f"seed {seed}: "
+              + (f"jax={jax_accs[-1]:.4f} " if jax_accs else "")
+              + (f"torch={torch_accs[-1]:.4f}" if torch_accs else ""),
+              file=sys.stderr, flush=True)
 
     result = {
-        "torch_best_held_acc": round(torch_acc, 4),
-        "jax_best_held_acc": round(jax_acc, 4),
-        "gap": round(abs(torch_acc - jax_acc), 4),
         "epochs": args.epochs,
-        "recipe": {"lr": LR, "weight_decay": WD, "grad_clip": CLIP,
-                   "batch_size": BATCH, "dropout": 0.5},
+        "holdout_size": int(len(v_labels)),
+        "train_size": int(len(labels)),
+        "recipe": {"lr": args.lr, "weight_decay": WD, "grad_clip": CLIP,
+                   "batch_size": args.batch, "dropout": 0.5},
         "jax_backend": backend,
         "seconds": {"torch": round(t_torch, 1), "jax": round(t_jax, 1)},
     }
+    if args.features:
+        result["features"] = args.features
+    if torch_accs:
+        result["torch_best_held_acc"] = float(np.mean(torch_accs))
+        result["torch_accs"] = torch_accs
+        result["torch_std"] = float(np.std(torch_accs, ddof=1)) \
+            if len(torch_accs) > 1 else None
+    if jax_accs:
+        result["jax_best_held_acc"] = float(np.mean(jax_accs))
+        result["jax_accs"] = jax_accs
+        result["jax_std"] = float(np.std(jax_accs, ddof=1)) \
+            if len(jax_accs) > 1 else None
+    if torch_accs and jax_accs:
+        result["gap"] = float(abs(np.mean(torch_accs) - np.mean(jax_accs)))
     if args.seeds > 1:
         result["seeds"] = args.seeds
-        result["torch_accs"] = [round(a, 4) for a in torch_accs]
-        result["jax_accs"] = [round(a, 4) for a in jax_accs]
+    if args.curves:
+        if jax_curves:
+            result["jax_curves"] = jax_curves
+        if torch_curves:
+            result["torch_curves"] = torch_curves
     print(json.dumps(result))
     if args.out:
         with open(args.out, "w") as f:
