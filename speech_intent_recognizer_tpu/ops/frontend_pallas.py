@@ -257,7 +257,24 @@ def _tail_finish(rev_rows, length, x0, hop):
 
 def _frontend_core(lengths_ref, firsts_ref, rows_ref, left_ref,
                    win_ref, pk_ref, fm_ref, *,
-                   bu, t_k, hop, n_mels, normalize, eps):
+                   bu, t_k, hop, n_mels, normalize, eps,
+                   stop_after=None):
+    """See _frontend_core_impl.  ``stop_after`` is INSTRUMENTATION ONLY
+    (bench_kernel_attrib.py): truncate the kernel after a named stage
+    ("read", "frame", "inner", "outer") and emit a stage-dependent stub of
+    the full output shape, so stage costs can be measured as increments
+    under the identical grid/DMA pipeline.  Production callers never set
+    it; parity tests cover stop_after=None."""
+    return _frontend_core_impl(
+        lengths_ref, firsts_ref, rows_ref, left_ref, win_ref, pk_ref,
+        fm_ref, bu=bu, t_k=t_k, hop=hop, n_mels=n_mels,
+        normalize=normalize, eps=eps, stop_after=stop_after)
+
+
+def _frontend_core_impl(lengths_ref, firsts_ref, rows_ref, left_ref,
+                   win_ref, pk_ref, fm_ref, *,
+                   bu, t_k, hop, n_mels, normalize, eps,
+                   stop_after=None):
     """Shared kernel body: raw rows -> (db, mask), both (bu, t_k, n_mels_pad).
 
     ``db`` is the normalized log-mel image (NOT yet masked); ``mask`` zeroes
@@ -267,6 +284,14 @@ def _frontend_core(lengths_ref, firsts_ref, rows_ref, left_ref,
     nb = hop // lane
     b_idx = pl.program_id(0)
     xr = rows_ref[...]  # (bu, t_k, hop) f32 raw waveform rows (zero-padded)
+    ones = jnp.ones((bu, t_k, lane), jnp.float32)
+    if stop_after == "read":
+        # touch every input lane block so the full streaming read happens
+        acc = None
+        for j in range(nb):
+            blk = xr[:, :, j * lane:(j + 1) * lane]
+            acc = blk if acc is None else acc + blk
+        return acc, ones
     # Left-reflect chunk rows, precomputed in XLA (cheap static ops there).
     chunks = jnp.concatenate([left_ref[...], xr], axis=1)  # (bu, t_k+1, hop)
     # Dynamic right-reflect tail, computed HERE from the chunk rows and
@@ -309,6 +334,12 @@ def _frontend_core(lengths_ref, firsts_ref, rows_ref, left_ref,
                      (c % 4) * lane:(c % 4 + 1) * lane]
         wx.append(blk * win_ref[c:c + 1])
 
+    if stop_after == "frame":
+        acc = wx[0]
+        for c in range(1, 8):
+            acc = acc + wx[c]
+        return acc, ones
+
     # Inner 8-point DFT over blocks (radix-2; coefficients 0, ±1, ±√2/2).
     # Z[n1, r] = Σ_c wx_c[n1] e^{-2πi c r/8}.  Conjugate symmetry
     # (Z[8-r] = conj(Z[r])) means only residues 0..4 are materialized; the
@@ -338,6 +369,13 @@ def _frontend_core(lengths_ref, firsts_ref, rows_ref, left_ref,
         2: lhs_pack(ec, -ed),
         3: lhs_pack(o[0] - oa, o[2] - ob),
     }
+
+    if stop_after == "inner":
+        acc = None
+        for r in (0, 4, 1, 2, 3):
+            part = lhs_by_r[r][:, :lane].astype(jnp.float32)
+            acc = part if acc is None else acc + part
+        return acc.reshape(bu, t_k, lane), ones
 
     # Outer DFT-128 with twiddles pre-multiplied.  The hi/lo rhs splits AND
     # the conjugate residue pairs (1,7), (2,6), (3,5) that share an lhs are
@@ -373,6 +411,12 @@ def _frontend_core(lengths_ref, firsts_ref, rows_ref, left_ref,
     # (bin-doubled) FB row for its bin, so Xr/Xi are never unpacked — the
     # whole projection is ONE K=1024 GEMM (x3 bf16 passes; the hi and lo FB
     # splits ride as column blocks of ``fm_ref``, summed after the dot).
+    if stop_after == "outer":
+        acc = sq[0]
+        for part in sq[1:]:
+            acc = acc + part
+        return acc.reshape(bu, t_k, lane), ones
+
     psl = jnp.concatenate(sq, axis=1)  # (m, 1024), residue-major lanes
     ph, pl_ = _split_bf16(psl)
     om = jnp.dot(jnp.concatenate([ph, pl_], axis=1), fm_ref[...],
@@ -413,11 +457,12 @@ def _frontend_core(lengths_ref, firsts_ref, rows_ref, left_ref,
 
 def _fused_kernel(lengths_ref, firsts_ref, rows_ref, left_ref,
                   win_ref, pk_ref, fm_ref, out_ref, *,
-                  bu, t_k, t_out, hop, n_mels, normalize, eps, out_dtype):
+                  bu, t_k, t_out, hop, n_mels, normalize, eps, out_dtype,
+                  stop_after=None):
     db, mask = _frontend_core(
         lengths_ref, firsts_ref, rows_ref, left_ref, win_ref, pk_ref,
         fm_ref, bu=bu, t_k=t_k, hop=hop, n_mels=n_mels,
-        normalize=normalize, eps=eps)
+        normalize=normalize, eps=eps, stop_after=stop_after)
     db = db * mask  # zero padded frames and pad lanes
     dbt = jnp.swapaxes(db, 1, 2)[:, :n_mels]  # (bu, n_mels, t_k) mel-major
     if t_out > t_k:
@@ -432,10 +477,11 @@ _BU = 8  # utterances per grid step (amortizes per-step VPU/pipeline cost)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "t_out", "hop", "n_mels", "normalize", "eps", "out_dtype", "interpret"))
+    "t_out", "hop", "n_mels", "normalize", "eps", "out_dtype", "interpret",
+    "stop_after"))
 def _fused_call(rows, lengths, firsts, left, win, pk, fm,
                 t_out, hop, n_mels, normalize, eps,
-                out_dtype, interpret):
+                out_dtype, interpret, stop_after=None):
     b, t_k, _ = rows.shape  # t_k waveform rows -> t_k frames (incl. pad)
     bu = _BU
     b_pad = -(-b // bu) * bu
@@ -448,7 +494,8 @@ def _fused_call(rows, lengths, firsts, left, win, pk, fm,
     n_mels_pad = fm.shape[1] // 2
     kernel = functools.partial(
         _fused_kernel, bu=bu, t_k=t_k, t_out=t_out, hop=hop, n_mels=n_mels,
-        normalize=normalize, eps=eps, out_dtype=out_dtype)
+        normalize=normalize, eps=eps, out_dtype=out_dtype,
+        stop_after=stop_after)
     const = lambda shape: pl.BlockSpec(  # noqa: E731
         shape, lambda i, *_: (0,) * len(shape), memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -795,7 +842,8 @@ def fused_frontend_pallas(wf_rows: jax.Array, lengths: jax.Array,
                           left_row: jax.Array,
                           p: FrontendParams, normalize: bool = True,
                           t_out: int | None = None,
-                          out_dtype=jnp.float32) -> jax.Array:
+                          out_dtype=jnp.float32,
+                          _stop_after: str | None = None) -> jax.Array:
     """Fully fused front-end: raw waveform rows -> normalized log-mel.
 
     Args:
@@ -818,4 +866,5 @@ def fused_frontend_pallas(wf_rows: jax.Array, lengths: jax.Array,
     return _fused_call(wf_rows, lengths.astype(jnp.int32),
                        wf_rows[:, 0, 0], left_row, win, pk, fm,
                        t_out, p.hop_length, p.n_mels, normalize,
-                       p.norm_eps, jnp.dtype(out_dtype), interpret)
+                       p.norm_eps, jnp.dtype(out_dtype), interpret,
+                       stop_after=_stop_after)
