@@ -264,13 +264,29 @@ def padded_samples(max_samples: int, hop: int = 512,
     """Row-aligned waveform buffer size for the fused Pallas kernels.
 
     Callers that allocate their batch buffers at this size (instead of the
-    raw ``max_samples``) make :func:`waveform_rows` a zero-copy reshape —
-    removing the kernel path's one remaining XLA prep copy (~335 MB/b1024).
-    The extra tail samples stay zero; true lengths are what the kernel
-    masks on.
+    raw ``max_samples``) avoid the in-jit PAD of :func:`waveform_rows`.
+    Note the in-jit reshape itself is NOT free: XLA still materializes the
+    reshaped custom-call operand (measured 2.0 ms/b2048,
+    bench_kernel_attrib.py) — hand the kernel a host-side :func:`rows_view`
+    of the buffer to skip that too.  The extra tail samples stay zero;
+    true lengths are what the kernel masks on.
     """
     t = -(-(max_samples // hop + 1) // multiple) * multiple
     return t * hop
+
+
+def rows_view(waveforms, hop: int = 512, multiple: int = 8):
+    """(B, L) -> (B, L // hop, hop) row view, or None if not row-aligned.
+
+    On a NumPy batch buffer this is a zero-copy view; handing it (instead
+    of the flat buffer) to :func:`log_mel_conv1_frontend` makes the fused
+    kernel's input the program parameter itself, eliminating the in-jit
+    prep copy entirely."""
+    b, width = waveforms.shape
+    t_k = width // hop
+    if width % hop or t_k % multiple:
+        return None
+    return waveforms.reshape(b, t_k, hop)
 
 
 def waveform_rows(waveforms: jax.Array, hop: int,
@@ -439,8 +455,19 @@ def _conv1_frontend_impl(waveforms, lengths, dft_cos, dft_sin, mel_fb,
     from speech_intent_recognizer_tpu.ops import frontend_pallas as fp
 
     pad = n_fft // 2
-    rows = waveform_rows(waveforms, hop, multiple=8)
-    left = waveforms[:, 1 : pad + 1][:, ::-1][:, None, :]
+    if waveforms.ndim == 3:
+        # rows-shaped (B, t_k, hop) input: the kernel operand IS the jit
+        # parameter — no in-jit reshape, so XLA materializes no prep copy
+        # (measured 2.0 ms/b2048 for the flat path's in-jit prep; see
+        # bench_kernel_attrib.py "entry_prep").  pad == hop for the fused
+        # geometry, so the left-reflect source (samples 1..pad reversed)
+        # is row 0 samples 1.. plus row 1 sample 0.
+        rows = waveforms
+        head = jnp.concatenate([rows[:, 0, 1:], rows[:, 1, :1]], axis=1)
+        left = head[:, ::-1][:, None, :]
+    else:
+        rows = waveform_rows(waveforms, hop, multiple=8)
+        left = waveforms[:, 1 : pad + 1][:, ::-1][:, None, :]
     return fp.fused_frontend_conv1_pallas(
         rows, lengths, left, p, weo, out_dtype=out_dtype)
 
@@ -454,9 +481,13 @@ def log_mel_conv1_frontend(
 ) -> jax.Array:
     """Fused front-end + first conv stage (Pallas; inference fast path).
 
-    Same waveform contract as :func:`log_mel_frontend`; returns the pooled
-    conv1 output (B, target_length // 2, (n_mels // 2) * C1) for the
-    ``CNNAudioGRU(conv1_external=True)`` variant.  ``weo`` comes from
+    ``waveforms`` is either the flat (B, L) contract of
+    :func:`log_mel_frontend`, or the row view (B, L // hop, hop) of a
+    row-aligned buffer (``rows_view``) — the fast path: the kernel
+    operand is then the program input itself and XLA materializes no
+    prep copy (worth 2.0 ms/b2048, bench_kernel_attrib.py).  Returns the
+    pooled conv1 output (B, target_length // 2, (n_mels // 2) * C1) for
+    the ``CNNAudioGRU(conv1_external=True)`` variant.  ``weo`` comes from
     ``ops.frontend_pallas.conv1_band_operands`` applied to the BN-folded
     conv1 stage.  Supports exactly the fused-kernel geometry (torchaudio
     mode, n_fft=1024, hop=512, n_mels=64).
