@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import time
 
 from speech_intent_recognizer_tpu.cli.common import setup_logging
 from speech_intent_recognizer_tpu.config import load_config
@@ -38,7 +39,16 @@ def _resolve_split(configured: str, name: str, logger) -> str:
 
 
 def run_pipeline(config_path: str, force_precompute: bool = False,
-                 validate_audio: bool = True) -> bool:
+                 validate_audio: bool = True,
+                 stage_times: dict | None = None) -> bool:
+    """Run preprocess -> precompute -> train -> evaluate.
+
+    ``stage_times`` (optional) is filled with per-stage wall-clock seconds
+    — the observability hook used by ``bench_pipeline_scale.py`` to time
+    the reference's hot loops (``run_pipeline.py:39-211``) at FSC scale.
+    """
+    if stage_times is None:
+        stage_times = {}
     logger = setup_logging()
     logger.info("=== Starting Speech Intent Recognition Pipeline (TPU) ===")
     try:  # device + memory report (reference run_pipeline.py:45-50 analog)
@@ -69,6 +79,7 @@ def run_pipeline(config_path: str, force_precompute: bool = False,
 
     # STEP 1: preprocess (validate + label map)
     logger.info("=== STEP 1: DATA PREPROCESSING ===")
+    t_stage = time.perf_counter()
     processed = preprocess_dataset(
         train_csv, valid_csv, test_csv, cfg.data.output_dir,
         label_map_path=cfg.data.label_map_path, validate=validate_audio)
@@ -76,9 +87,11 @@ def run_pipeline(config_path: str, force_precompute: bool = False,
     valid_csv = processed["valid_csv"]
     test_csv = processed["test_csv"]
     label_map_path = processed["label_map"]
+    stage_times["preprocess"] = time.perf_counter() - t_stage
 
     # STEP 2: precompute features (device batched); build_dataset inside
     # train/evaluate handles cache hits, so this stage only forces misses.
+    t_stage = time.perf_counter()
     if cfg.data.use_feature_cache:
         logger.info("=== STEP 2: PRECOMPUTING FEATURES ===")
         train_cache = cache_mod.cache_path_for(train_csv, cfg.data.cache_dir)
@@ -97,12 +110,21 @@ def run_pipeline(config_path: str, force_precompute: bool = False,
                 logger.warning("feature precomputation failed (%s); "
                                "continuing with on-the-fly extraction", e)
                 cfg.data.use_feature_cache = False
+            else:
+                # the flag means "rebuild the cache once", not "never use
+                # it": clear it so the train/evaluate stages hit the
+                # caches this stage just built instead of re-featurizing
+                # the corpus two more times
+                cfg.data.force_precompute = False
         else:
             logger.info("using existing cached features in %s",
                         cfg.data.cache_dir)
 
+    stage_times["precompute"] = time.perf_counter() - t_stage
+
     # STEP 3: train
     logger.info("=== STEP 3: TRAINING MODEL ===")
+    t_stage = time.perf_counter()
     from speech_intent_recognizer_tpu.cli.train import train_from_config
 
     try:
@@ -112,8 +134,11 @@ def run_pipeline(config_path: str, force_precompute: bool = False,
         logger.exception("training failed; stopping pipeline")
         return False
 
+    stage_times["train"] = time.perf_counter() - t_stage
+
     # STEP 4: evaluate
     logger.info("=== STEP 4: EVALUATING MODEL ===")
+    t_stage = time.perf_counter()
     model_path = os.path.join(cfg.train.save_path, "best_model.msgpack")
     if not os.path.exists(model_path):
         logger.error("model file not found: %s", model_path)
@@ -126,7 +151,10 @@ def run_pipeline(config_path: str, force_precompute: bool = False,
     except Exception:
         logger.exception("evaluation failed; stopping pipeline")
         return False
+    stage_times["evaluate"] = time.perf_counter() - t_stage
 
+    logger.info("stage wall-clock: %s",
+                "  ".join(f"{k}={v:.1f}s" for k, v in stage_times.items()))
     logger.info("=== Pipeline Completed Successfully ===")
     return True
 
