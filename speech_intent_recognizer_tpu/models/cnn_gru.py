@@ -87,8 +87,8 @@ class TorchGRU(nn.Module):
     bidirectional: bool = True
     dropout: float = 0.5
     compute_dtype: Any = jnp.float32
-    # "scan" (differentiable; training) or "pallas" (single-kernel
-    # recurrence per layer; inference only — no custom VJP)
+    # "scan" (default) or "pallas" (single-kernel recurrence per layer;
+    # trainable — custom VJP in ops/gru_pallas.py, gradient-parity tested)
     impl: str = "scan"
 
     @nn.compact

@@ -1,4 +1,4 @@
-"""Pallas TPU kernel for the bidirectional GRU recurrence (inference).
+"""Pallas TPU kernel for the bidirectional GRU recurrence.
 
 The GRU recurrence is the model's serial critical path: 25 timesteps x
 2 layers of small (B, H) x (H, 3H) matmuls.  Under XLA each step is separate
@@ -12,8 +12,11 @@ one large MXU GEMM — exactly what XLA is best at); the kernel consumes them
 time-major.  PyTorch gate semantics ([r; z; n] rows, double-bias folded into
 the projections) match :class:`models.cnn_gru.TorchGRU` — parity tested.
 
-Forward-only (no custom VJP): selectable via ``gru_impl="pallas"``; training
-keeps the differentiable `lax.scan` implementation.
+Trainable: a custom VJP (defined below, commit fafb49e) recomputes the
+forward to stash per-step hidden states, then runs the reverse recurrence
+as a second Pallas kernel — ``gru_impl="pallas"`` works under ``jax.grad``
+and is gradient-parity tested against the `lax.scan` implementation
+(`tests/test_gru_pallas.py`).  `scan` remains the default.
 
 Revision history (each measured on v5e, full model at b256/b1024):
 

@@ -88,6 +88,7 @@ class TestStreamCLI:
 
 
 class TestTrainResumeCLI:
+    @pytest.mark.slow
     def test_resume_continues_from_checkpoint(self, tmp_path,
                                               reference_mic_dir):
         """Train 2 epochs, then resume: the second run must start at epoch 3

@@ -43,6 +43,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # >2 min on the 1-core host
+
 # Recorded torch-side statistics on the powered corpus (identical recipe:
 # 20 epochs, batch 16, lr 2e-3, wd 1e-4, clip 1.0, dropout 0.5; corpus =
 # make_ab_corpus.py --variants 80 --profile harder --seed 0).  Provenance:

@@ -1,6 +1,7 @@
 """Driver-contract tests: __graft_entry__.entry compiles and runs;
 dryrun_multichip executes a full train step on the virtual 8-device mesh."""
 
+import pytest
 import os
 import subprocess
 import sys
@@ -24,6 +25,7 @@ class TestEntry:
         dryrun_multichip(8)
         assert "OK" in capsys.readouterr().out
 
+    @pytest.mark.slow
     def test_dryrun_multichip_driver_style(self):
         """Exactly as the driver invokes it: a FRESH process with no
         harness env (no XLA device-count flag, no platform pin).

@@ -12,6 +12,8 @@ import pytest
 
 from speech_intent_recognizer_tpu.config import Config
 
+pytestmark = pytest.mark.slow  # >2 min on the 1-core host
+
 
 def _write_split_manifests(reference_mic_dir, tmp_path):
     """Split details.csv into train/valid/test CSVs with absolute paths."""

@@ -142,6 +142,7 @@ class TestCheckpoint:
 
 
 class TestMeshTraining:
+    @pytest.mark.slow
     def test_mesh_and_single_device_train_identically(self):
         """SPMD correctness: the 8-way data-parallel epoch must produce the
         SAME metrics as the single-device epoch (jit-with-shardings computes

@@ -90,6 +90,7 @@ def _init_state(torch_state):
 
 
 class TestTrainStepEquivalence:
+    @pytest.mark.slow
     def test_loss_trajectory_and_final_logits_match_torch(self, batches):
         torch = pytest.importorskip("torch")
         feats, labels, held = batches
@@ -149,6 +150,7 @@ class TestTrainStepEquivalence:
         np.testing.assert_allclose(j_logits, t_logits, rtol=2e-3, atol=2e-3)
         assert (np.argmax(j_logits, 1) == np.argmax(t_logits, 1)).all()
 
+    @pytest.mark.slow
     def test_full_loop_gradclip_eval_earlystop_matches_torch(self, batches):
         """The FULL training-loop semantics (reference
         ``scripts/train.py:164-302``), not just the optimizer step: multiple

@@ -167,6 +167,7 @@ class TestCheckpointResume:
             checkpointer=ckpt, resume=resume, log=lambda m: None)
         return params, result
 
+    @pytest.mark.slow
     def test_resumed_run_matches_uninterrupted(self, tmp_path,
                                                reference_mic_dir):
         # uninterrupted 3-epoch run
