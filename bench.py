@@ -255,6 +255,31 @@ def main() -> int:
                 t_fwd = time.perf_counter() - t0
     cpu_rate = k / (t_feat + t_fwd)
 
+    # ------- MFU: hardware-relative denominator -------
+    # FLOPs of the XLA-equivalent computation at the measured batch (the
+    # identical math on the XLA backend; Pallas custom calls are opaque to
+    # HLO cost analysis, so the equivalent program is the honest FLOP
+    # count).  v5e bf16 peak: 197 TFLOP/s/chip.
+    V5E_BF16_PEAK = 197e12
+    mfu = tflops = None
+    try:
+        def xla_equiv(variables, waveforms, lengths):
+            feats = log_mel_frontend(waveforms, lengths, fe, backend="xla",
+                                     out_dtype=jnp.bfloat16)
+            return model.apply(variables, feats, train=False)
+
+        wf_small = jnp.asarray(wav_np[:batch, : audio_cfg.max_samples])
+        ca = jax.jit(xla_equiv).lower(
+            variables, wf_small, lengths).cost_analysis()
+        flops_batch = float(ca.get("flops", 0.0))
+        if flops_batch > 0:
+            achieved = flops_batch * tpu_rate / batch
+            tflops = achieved / 1e12
+            mfu = achieved / V5E_BF16_PEAK
+    except Exception as e:
+        print(f"cost analysis unavailable ({e}); MFU omitted",
+              file=sys.stderr)
+
     print(json.dumps({
         "metric": "fused_feature_forward_throughput",
         "value": round(tpu_rate, 2),
@@ -269,6 +294,10 @@ def main() -> int:
                             f"{k} utts, best-of-5 feat / best-of-8 fwd",
             "cpu_feat_seconds": round(t_feat, 4),
             "cpu_fwd_seconds": round(t_fwd, 4),
+            "achieved_tflops": (round(tflops, 2) if tflops is not None
+                                else None),
+            "mfu_vs_v5e_bf16_peak": (round(mfu, 4) if mfu is not None
+                                     else None),
         },
     }))
     return 0

@@ -29,10 +29,15 @@ def main(argv=None) -> dict:
     p.add_argument("--label_map", default=None)
     p.add_argument("--config", default=None)
     p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--wire_dtype",
+                   choices=("int16_packed", "int16", "float32"),
+                   default=None, help="waveform staging format (default: "
+                   "config data.precompute_wire_dtype = int16_packed)")
     args = p.parse_args(argv)
 
     cfg = load_config_or_default(args.config)
     bs = args.batch_size or cfg.data.precompute_batch_size
+    wire = args.wire_dtype or cfg.data.precompute_wire_dtype
     os.makedirs(args.output_dir, exist_ok=True)
 
     manifests = {name: read_manifest(path) for name, path in
@@ -46,13 +51,27 @@ def main(argv=None) -> dict:
     info = {}
     for name, manifest in manifests.items():
         csv_path = getattr(args, f"{name}_csv")
-        feats, labels, ok, paths = cache_mod.precompute_features(
-            manifest, label_map, cfg.audio, batch_size=bs)
         out = cache_mod.cache_path_for(csv_path, args.output_dir)
+        # stream features to a sidecar .npy memmap (serialization overlaps
+        # the compute loop; no (N, n_mels, T) RAM copy), then zip-store it
+        tmp_npy = out + ".features.tmp.npy"
+        timings: dict = {}
+        feats, labels, ok, paths = cache_mod.precompute_features(
+            manifest, label_map, cfg.audio, batch_size=bs,
+            wire_dtype=wire, features_out=tmp_npy, timings=timings)
         cache_mod.save_cache(out, feats, labels, paths, label_map, cfg.audio)
+        del feats  # release the memmap handle before unlinking
+        try:
+            os.unlink(tmp_npy)
+        except OSError:
+            pass
         info[f"{name}_features"] = out
-        logger.info("%s: %d features cached (%d failed)", name, len(feats),
-                    int((~ok).sum()))
+        logger.info("%s: %d features cached (%d failed) "
+                    "[decode %.1fs dispatch %.1fs fetch %.1fs wire=%s]",
+                    name, len(labels), int((~ok).sum()),
+                    timings.get("decode_s", 0.0),
+                    timings.get("stage_dispatch_s", 0.0),
+                    timings.get("fetch_s", 0.0), wire)
 
     with open(os.path.join(args.output_dir, "cache_info.json"), "w") as f:
         json.dump(info, f, indent=2)

@@ -17,7 +17,8 @@ import jax
 from speech_intent_recognizer_tpu.cli.common import (
     add_config_arg, load_config_or_default, setup_logging)
 from speech_intent_recognizer_tpu.data.labelmap import load_label_map
-from speech_intent_recognizer_tpu.data.pipeline import build_dataset
+from speech_intent_recognizer_tpu.data.pipeline import (
+    build_dataset, build_waveform_dataset)
 from speech_intent_recognizer_tpu.models.cnn_gru import CNNAudioGRU
 from speech_intent_recognizer_tpu.parallel.distributed import (
     initialize_distributed)
@@ -48,10 +49,13 @@ def train_from_config(cfg, train_csv=None, val_csv=None, label_map_path=None,
     label_map = load_label_map(label_map_path)
     num_classes = max(cfg.model.num_labels, len(label_map))
 
-    train_ds = build_dataset(train_csv, label_map, cfg, mesh)
-    val_ds = build_dataset(val_csv, label_map, cfg, mesh)
-    logger.info("datasets loaded - train: %d, val: %d",
-                train_ds.num_items, val_ds.num_items)
+    from_waveforms = cfg.data.train_on_waveforms
+    build = build_waveform_dataset if from_waveforms else build_dataset
+    train_ds = build(train_csv, label_map, cfg, mesh)
+    val_ds = build(val_csv, label_map, cfg, mesh)
+    logger.info("datasets loaded - train: %d, val: %d%s",
+                train_ds.num_items, val_ds.num_items,
+                " (waveform-resident)" if from_waveforms else "")
 
     compute_dtype = jnp.bfloat16 if cfg.train.bf16 else jnp.float32
     model = CNNAudioGRU(
@@ -87,13 +91,15 @@ def train_from_config(cfg, train_csv=None, val_csv=None, label_map_path=None,
             best_val_acc = book["best_val_acc"]
             no_improve = book["no_improve"]
 
-    trainer = Trainer(model, cfg, mesh=mesh, tx=tx, num_classes=num_classes)
+    trainer = Trainer(model, cfg, mesh=mesh, tx=tx, num_classes=num_classes,
+                      from_waveforms=from_waveforms)
     state, result = trainer.fit(
         state, train_ds.features, train_ds.labels,
         val_ds.features, val_ds.labels,
         checkpointer=ckpt, start_epoch=start_epoch,
         best_val_acc=best_val_acc, no_improve=no_improve,
-        log=logger.info)
+        log=logger.info,
+        train_lengths=train_ds.lengths, val_lengths=val_ds.lengths)
 
     history_path = os.path.join(cfg.train.save_path, "training_history.json")
     os.makedirs(cfg.train.save_path, exist_ok=True)

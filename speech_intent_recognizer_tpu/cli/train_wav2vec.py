@@ -39,6 +39,10 @@ def main(argv=None):
                    default=True)
     p.add_argument("--no_freeze", dest="freeze_feature_extractor",
                    action="store_false")
+    p.add_argument("--warmup_steps", type=int, default=0,
+                   help=">0 switches to the TPU-native large-batch recipe: "
+                   "linear warmup to --lr then cosine decay "
+                   "(configs/wav2vec_large_batch.yaml)")
     args = p.parse_args(argv)
 
     cfg = load_config_or_default(args.config)
@@ -60,12 +64,15 @@ def main(argv=None):
 
     freeze = (feature_extractor_mask(params)
               if args.freeze_feature_extractor else None)
-    tx = create_wav2vec_optimizer(lr=args.lr,
-                                  grad_clip=cfg.train.grad_clip,
-                                  freeze_mask=freeze)
 
     train_m = read_manifest(args.train_csv)
     val_m = read_manifest(args.val_csv)
+    steps_per_epoch = max(len(train_m) // args.batch_size, 1)
+    tx = create_wav2vec_optimizer(lr=args.lr,
+                                  grad_clip=cfg.train.grad_clip,
+                                  freeze_mask=freeze,
+                                  warmup_steps=args.warmup_steps,
+                                  decay_steps=steps_per_epoch * args.epochs)
     to_ids = lambda m: [label_map.get(l, 0) for l in m.labels]  # noqa: E731
 
     trainer = Wav2VecTrainer(model, tx, num_classes,

@@ -83,11 +83,21 @@ class DataConfig:
     cache_dir: str = "data/cached_features"
     force_precompute: bool = False
     precompute_batch_size: int = 32
+    # waveform staging format for precompute: "int16_packed" (default —
+    # stages only real samples, ~4x fewer wire bytes than dense float32),
+    # "int16" (dense, half of float32), or "float32" (bit-exact for
+    # float/MP3 sources too; the int16 forms are already bit-exact for
+    # 16-bit PCM sources)
+    precompute_wire_dtype: str = "int16_packed"
     # augmentation (reference configs/config.yaml:38-40, dataset.py:69-71)
     use_augmentation: bool = True
     augment_prob: float = 0.7
     time_mask_param: int = 20
     freq_mask_param: int = 10
+    # waveform-resident training: cache int16 waveforms instead of features
+    # and featurize inside the jitted train step (fused frontend); required
+    # for use_waveform_augment to be live
+    train_on_waveforms: bool = False
     use_waveform_augment: bool = False  # scripts/augment.py capability
     mixup_alpha: float = 0.2
     use_mixup: bool = False  # the reference declares mixup_alpha but never
@@ -163,6 +173,8 @@ _FLAT_KEY_MAP = {
     "cache_dir": ("data", "cache_dir"),
     "force_precompute": ("data", "force_precompute"),
     "precompute_batch_size": ("data", "precompute_batch_size"),
+    "precompute_wire_dtype": ("data", "precompute_wire_dtype"),
+    "train_on_waveforms": ("data", "train_on_waveforms"),
     "use_augmentation": ("data", "use_augmentation"),
     "augment_prob": ("data", "augment_prob"),
     "mixup_alpha": ("data", "mixup_alpha"),

@@ -109,6 +109,21 @@ def pallas_usable() -> bool:
     if backend != "tpu":
         return True
     if backend not in _PALLAS_PROBE:
+        # The probe cannot run while an outer function is being traced
+        # (log_mel_frontend(backend="auto") inside jit): under omnistaging
+        # everything it does becomes a tracer, pallas primitives have no
+        # eager-eval rule, and caching that failure would disable the
+        # kernel for the whole process.  Fall back to XLA for THIS call
+        # without caching; callers that want the kernel inside jit resolve
+        # the backend eagerly first (default_backend_choice at setup time
+        # — see data/cache.precompute_features, train/loop.Trainer).
+        try:
+            from jax._src import core as _core
+
+            if not _core.trace_state_clean():
+                return False
+        except Exception:
+            pass
         try:
             cfg = AudioConfig()  # the standard geometry pallas serves
             p = make_frontend_params(cfg)
@@ -123,6 +138,10 @@ def pallas_usable() -> bool:
                     "Pallas frontend probe produced non-finite output; "
                     "'auto' falls back to the XLA backend")
             _PALLAS_PROBE[backend] = ok
+        except jax.errors.TracerArrayConversionError:
+            # probed mid-trace and eager eval was unavailable: fall back for
+            # THIS call but do not cache — an eager caller may still probe
+            return False
         except Exception as e:  # Mosaic compile/runtime failure
             import logging
 

@@ -36,7 +36,8 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from speech_intent_recognizer_tpu.config.schema import Config
-from speech_intent_recognizer_tpu.ops.augment import mixup
+from speech_intent_recognizer_tpu.ops.augment import (augment_waveforms,
+                                                      mixup)
 from speech_intent_recognizer_tpu.ops.specaugment import spec_augment
 from speech_intent_recognizer_tpu.parallel.mesh import DATA_AXIS
 from speech_intent_recognizer_tpu.train.state import TrainState
@@ -88,7 +89,8 @@ class Trainer:
     """Config-driven trainer for the intent classifier."""
 
     def __init__(self, model, cfg: Config, mesh=None,
-                 tx=None, num_classes: Optional[int] = None):
+                 tx=None, num_classes: Optional[int] = None,
+                 from_waveforms: bool = False):
         from speech_intent_recognizer_tpu.train.state import create_optimizer
 
         self.model = model
@@ -100,6 +102,36 @@ class Trainer:
             grad_clip=cfg.train.grad_clip)
         self._epoch_fn = None
         self._eval_fn = None
+        # Waveform-resident mode (``data.train_on_waveforms``): the train /
+        # eval arrays are int16 waveforms + lengths; each batch is
+        # featurized INSIDE the jitted step by the fused frontend (~10 ms
+        # per b2048 — effectively free vs the backward pass), which makes
+        # waveform-domain augmentation (``ops/augment.py``) live on device.
+        # The gradient does not flow into the frontend (features are data),
+        # so no frontend VJP is involved.
+        self.from_waveforms = from_waveforms
+        self._frontend_params = None
+        if from_waveforms:
+            from speech_intent_recognizer_tpu.ops.frontend_jax import (
+                default_backend_choice, make_frontend_params)
+
+            self._frontend_params = make_frontend_params(cfg.audio)
+            # GSPMD cannot auto-partition a pallas_call under a sharded jit
+            # (the XLA frontend partitions fine and the step stays fused);
+            # single-device resolves "auto" EAGERLY here — the usability
+            # probe cannot run inside the jitted step (frontend_jax.
+            # pallas_usable).
+            self._frontend_backend = (
+                "xla" if mesh is not None
+                else default_backend_choice(self._frontend_params))
+
+    def _featurize(self, waves_f32, lengths):
+        from speech_intent_recognizer_tpu.ops.frontend_jax import (
+            log_mel_frontend)
+
+        return log_mel_frontend(waves_f32, jnp.maximum(lengths, 1),
+                                self._frontend_params,
+                                backend=self._frontend_backend)
 
     # ---------------------------------------------------------------- jit fns
 
@@ -132,11 +164,26 @@ class Trainer:
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
+        from_waveforms = self.from_waveforms
+        use_wave_aug = cfg.data.use_waveform_augment and from_waveforms
+
         def step_fn(carry, inp):
             state, rng = carry
             idx, w, features, labels = inp["idx"], inp["w"], inp["features"], inp["labels"]
-            rng, arng, drng, mrng = jax.random.split(rng, 4)
-            x = self._constrain(features[idx])
+            if from_waveforms:
+                rng, arng, drng, mrng, wrng = jax.random.split(rng, 5)
+                xw = self._constrain(features[idx]).astype(jnp.float32) \
+                    * (1.0 / 32768.0)
+                ln = inp["lengths"][idx]
+                if use_wave_aug:
+                    xw, ln = augment_waveforms(xw, ln, wrng,
+                                               augment_prob=aug_prob)
+                x = self._featurize(xw, ln)
+            else:
+                # 4-way split preserved exactly: the feature-cached RNG
+                # stream (and every recipe validated on it) is unchanged
+                rng, arng, drng, mrng = jax.random.split(rng, 4)
+                x = self._constrain(features[idx])
             y = labels[idx]
             y_onehot = jax.nn.one_hot(y, num_classes, dtype=jnp.float32)
             if use_aug:
@@ -154,11 +201,13 @@ class Trainer:
             return (state, rng), metrics
 
         @partial(jax.jit, donate_argnums=(0,))
-        def epoch_fn(state, features, labels, perm, weights, rng):
+        def epoch_fn(state, features, labels, perm, weights, rng,
+                     lengths=None):
             def body(carry, inp):
                 return step_fn(carry, {"idx": inp[0], "w": inp[1],
                                        "features": features,
-                                       "labels": labels})
+                                       "labels": labels,
+                                       "lengths": lengths})
             (state, _), ms = jax.lax.scan(body, (state, rng), (perm, weights))
             totals = jnp.sum(ms, axis=0)
             return state, {"loss": totals[0] / jnp.maximum(totals[2], 1.0),
@@ -169,12 +218,19 @@ class Trainer:
     def _build_eval_fn(self) -> Callable:
         model = self.model
         num_classes = self.num_classes
+        from_waveforms = self.from_waveforms
 
         @jax.jit
-        def eval_fn(params, batch_stats, features, labels, perm, weights):
+        def eval_fn(params, batch_stats, features, labels, perm, weights,
+                    lengths=None):
             def body(_, inp):
                 idx, w = inp
-                x = self._constrain(features[idx])
+                if from_waveforms:
+                    xw = self._constrain(features[idx]).astype(jnp.float32) \
+                        * (1.0 / 32768.0)
+                    x = self._featurize(xw, lengths[idx])
+                else:
+                    x = self._constrain(features[idx])
                 y = labels[idx]
                 logits = model.apply(
                     {"params": params, "batch_stats": batch_stats},
@@ -196,7 +252,7 @@ class Trainer:
     # ------------------------------------------------------------------ train
 
     def evaluate(self, state: TrainState, features, labels,
-                 batch_size: Optional[int] = None):
+                 batch_size: Optional[int] = None, lengths=None):
         if self._eval_fn is None:
             self._eval_fn = self._build_eval_fn()
         bs = batch_size or (self.cfg.train.batch_size
@@ -204,7 +260,7 @@ class Trainer:
         bs = min(bs, int(features.shape[0]))
         perm, w = sequential_batches(int(features.shape[0]), bs)
         m = self._eval_fn(state.params, state.batch_stats, features, labels,
-                          perm, w)
+                          perm, w, lengths=lengths)
         return {k: float(v) for k, v in m.items()}
 
     def fit(
@@ -217,6 +273,8 @@ class Trainer:
         best_val_acc: float = 0.0,
         no_improve: int = 0,
         log: Optional[Callable[[str], None]] = None,
+        train_lengths=None,
+        val_lengths=None,
     ) -> tuple[TrainState, TrainResult]:
         cfg = self.cfg.train
         log = log or logger.info
@@ -251,8 +309,10 @@ class Trainer:
             perm, weights = pad_permutation(perm_key, n_train, bs)
             state, train_m = self._epoch_fn(
                 state, train_features, train_labels, perm, weights,
-                jax.random.fold_in(epoch_key, epoch))
-            val_m = self.evaluate(state, val_features, val_labels)
+                jax.random.fold_in(epoch_key, epoch),
+                lengths=train_lengths)
+            val_m = self.evaluate(state, val_features, val_labels,
+                                  lengths=val_lengths)
             dt = time.perf_counter() - t0
             train_loss = float(train_m["loss"])
             entry = {"epoch": epoch + 1, "train_loss": train_loss,

@@ -43,14 +43,33 @@ def create_wav2vec_optimizer(
     plateau_factor: float = 0.5,
     plateau_patience: int = 2,
     freeze_mask=None,
+    warmup_steps: int = 0,
+    decay_steps: int = 0,
 ):
-    """AdamW + plateau LR decay (+ feature-extractor freezing)."""
+    """AdamW + plateau LR decay (+ feature-extractor freezing).
+
+    Default (``warmup_steps=0``): the reference recipe — constant LR with
+    ``ReduceLROnPlateau``-equivalent decay driven by validation loss.
+
+    Large-batch recipe (``warmup_steps>0``): linear warmup to ``lr`` then
+    cosine decay over ``decay_steps`` (the TPU-native b64-b256 recipe in
+    ``configs/wav2vec_large_batch.yaml`` — scale ``lr`` with batch size and
+    warm up instead of plateau-reacting; the plateau transform is omitted
+    because the schedule already decays).  ``Wav2VecTrainer.step`` passes
+    ``value=`` either way; plateau-less chains ignore it.
+    """
     parts = []
     if grad_clip:
         parts.append(optax.clip_by_global_norm(grad_clip))
-    parts.append(optax.adamw(lr, weight_decay=weight_decay))
-    parts.append(optax.contrib.reduce_on_plateau(
-        factor=plateau_factor, patience=plateau_patience))
+    if warmup_steps > 0:
+        schedule = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=lr, warmup_steps=warmup_steps,
+            decay_steps=max(decay_steps, warmup_steps + 1))
+        parts.append(optax.adamw(schedule, weight_decay=weight_decay))
+    else:
+        parts.append(optax.adamw(lr, weight_decay=weight_decay))
+        parts.append(optax.contrib.reduce_on_plateau(
+            factor=plateau_factor, patience=plateau_patience))
     tx = optax.chain(*parts)
     if freeze_mask is not None:
         tx = optax.multi_transform(

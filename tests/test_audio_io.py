@@ -29,6 +29,39 @@ class TestWav:
         y, rate = audio_io.load_audio(p, mono=True)
         np.testing.assert_allclose(y, x.mean(axis=1), atol=2.0 / 32767)
 
+    def test_int16_wire_bit_exact_for_pcm16(self, rng, tmp_path):
+        # the int16 staging contract: for 16-bit PCM mono at the target
+        # rate, i16 * (1/32768) must equal load_audio's float32 BIT-exactly
+        x = (0.3 * rng.standard_normal(12000)).astype(np.float32)
+        p = str(tmp_path / "w.wav")
+        audio_io.save_wav(p, x, 16000)
+        f32, _ = audio_io.load_audio(p, target_sample_rate=16000)
+        i16, rate = audio_io.load_audio_int16(p, target_sample_rate=16000)
+        assert rate == 16000 and i16.dtype == np.int16
+        np.testing.assert_array_equal(
+            i16.astype(np.float32) * (1.0 / 32768.0), f32)
+
+    def test_int16_wire_quantizes_non_pcm16(self, rng, tmp_path):
+        # stereo (mixdown forces the float path): error bounded by the
+        # half-LSB quantization step
+        x = (0.2 * rng.standard_normal((8000, 2))).astype(np.float32)
+        p = str(tmp_path / "st2.wav")
+        audio_io.save_wav(p, x, 16000)
+        f32, _ = audio_io.load_audio(p, target_sample_rate=16000)
+        i16, _ = audio_io.load_audio_int16(p, target_sample_rate=16000)
+        np.testing.assert_allclose(
+            i16.astype(np.float32) / 32768.0, f32, atol=0.5 / 32768.0)
+
+    def test_int16_wire_resamples(self, rng, tmp_path):
+        x = (0.2 * rng.standard_normal(22050)).astype(np.float32)
+        p = str(tmp_path / "sr.wav")
+        audio_io.save_wav(p, x, 22050)
+        i16, rate = audio_io.load_audio_int16(p, target_sample_rate=16000)
+        f32, _ = audio_io.load_audio(p, target_sample_rate=16000)
+        assert rate == 16000 and len(i16) == len(f32)
+        np.testing.assert_allclose(
+            i16.astype(np.float32) / 32768.0, f32, atol=0.5 / 32768.0)
+
     def test_validate_audio(self, tmp_path):
         p = str(tmp_path / "short.wav")
         audio_io.save_wav(p, np.zeros(50, np.float32), 16000)

@@ -147,6 +147,55 @@ class TestFaultTolerance:
         m = process_manifest(str(csv_path), validate=True, progress=False)
         assert m.paths == [good]
 
+    def test_int16_wire_matches_float32_wire(self, rng, tmp_path):
+        """PCM16 sources: int16-staged features == float32-staged, bit
+        for bit (the staging default halves wire bytes for free)."""
+        from speech_intent_recognizer_tpu.data.cache import (
+            load_cache, precompute_features, save_cache)
+        from speech_intent_recognizer_tpu.data.manifest import Manifest
+        from speech_intent_recognizer_tpu.data.audio_io import save_wav
+        from speech_intent_recognizer_tpu.config.schema import AudioConfig
+
+        paths, labels = [], []
+        for i in range(5):
+            p = str(tmp_path / f"u{i}.wav")
+            n = 4000 + 2500 * i
+            save_wav(p, (0.3 * np.sin(np.arange(n) / (3.0 + i))
+                         ).astype(np.float32), 16000)
+            paths.append(p)
+            labels.append("ab"[i % 2])
+        m = Manifest(paths=paths, labels=labels)
+        lm = {"a": 0, "b": 1}
+        cfg = AudioConfig()
+        f_i16, l_i16, ok_i16, _ = precompute_features(
+            m, lm, cfg, batch_size=2, progress=False, wire_dtype="int16")
+        f_f32, l_f32, ok_f32, _ = precompute_features(
+            m, lm, cfg, batch_size=2, progress=False, wire_dtype="float32")
+        f_pk, _, ok_pk, _ = precompute_features(
+            m, lm, cfg, batch_size=2, progress=False,
+            wire_dtype="int16_packed")
+        assert ok_i16.all() and ok_f32.all() and ok_pk.all()
+        np.testing.assert_array_equal(f_i16, f_f32)
+        # packed unpack is value-exact, but fusing the gather into the
+        # frontend shifts XLA f32 rounding at the ~5e-7 level
+        np.testing.assert_allclose(f_pk, f_i16, atol=2e-6)
+        np.testing.assert_array_equal(l_i16, l_f32)
+
+        # features_out memmap streaming: same values, and the cache built
+        # by zip-storing the backing .npy loads identically
+        out_npy = str(tmp_path / "feats.npy")
+        f_mm, l_mm, ok_mm, ps = precompute_features(
+            m, lm, cfg, batch_size=2, progress=False, wire_dtype="int16",
+            features_out=out_npy)
+        assert isinstance(f_mm, np.memmap)
+        np.testing.assert_array_equal(np.asarray(f_mm), f_i16)
+        cache_p = str(tmp_path / "c_features.npz")
+        save_cache(cache_p, f_mm, l_mm, ps, lm, cfg)
+        feats2, labels2, meta = load_cache(cache_p)
+        np.testing.assert_array_equal(feats2, f_i16)
+        np.testing.assert_array_equal(labels2, l_i16)
+        assert meta["num_items"] == 5
+
     def test_cache_zero_fallback_for_bad_audio(self, tmp_path):
         from speech_intent_recognizer_tpu.data.cache import (
             precompute_features)

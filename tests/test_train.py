@@ -88,6 +88,161 @@ class TestTrainer:
         assert abs(m["acc"] - manual) < 1e-6
 
 
+class TestWaveformResident:
+    """Waveform-resident training (``data.train_on_waveforms``): int16
+    waveforms in HBM, featurization inside the jitted step."""
+
+    def _toy_waves(self, rng, n=24, num_classes=3, sr=16000, max_s=80000):
+        """Class-separable tones, variable lengths, int16 wire format."""
+        labels = (np.arange(n) % num_classes).astype(np.int32)
+        waves = np.zeros((n, max_s), np.int16)
+        lengths = np.zeros(n, np.int32)
+        for i, c in enumerate(labels):
+            m = int(sr * (1.0 + 0.2 * (i % 5)))
+            t = np.arange(m, dtype=np.float32) / sr
+            x = 0.4 * np.sin(2 * np.pi * (300.0 + 400.0 * c) * t)
+            x += 0.02 * rng.standard_normal(m).astype(np.float32)
+            waves[i, :m] = np.clip(np.round(x * 32768.0), -32768,
+                                   32767).astype(np.int16)
+            lengths[i] = m
+        return waves, lengths, labels
+
+    def _featurize_host(self, waves, lengths):
+        from speech_intent_recognizer_tpu.config.schema import AudioConfig
+        from speech_intent_recognizer_tpu.ops.frontend_jax import (
+            log_mel_frontend, make_frontend_params)
+
+        params = make_frontend_params(AudioConfig())
+        x = waves.astype(np.float32) / 32768.0
+        return np.asarray(log_mel_frontend(
+            jnp.asarray(x), jnp.asarray(np.maximum(lengths, 1)), params,
+            backend="xla"))
+
+    def test_in_step_featurization_is_exact_at_batch_shape(self):
+        """The seam contract: featurizing a gathered batch inside the step
+        is BIT-IDENTICAL to running the frontend on those rows standalone
+        at the same shape.  (Across different batch shapes XLA's reduction
+        tiling legitimately reorders f32 sums at the ~1e-7 level, so
+        whole-training comparison below is close-not-exact.)"""
+        from speech_intent_recognizer_tpu.config.schema import AudioConfig
+        from speech_intent_recognizer_tpu.ops.frontend_jax import (
+            log_mel_frontend, make_frontend_params)
+
+        rng = np.random.default_rng(3)
+        waves, lengths, labels = self._toy_waves(rng, n=8)
+        params = make_frontend_params(AudioConfig())
+        idx = np.array([5, 1, 6, 2], np.int32)
+
+        @jax.jit
+        def in_step(w_i16, ln, ix):
+            x = w_i16[ix].astype(jnp.float32) * (1.0 / 32768.0)
+            return log_mel_frontend(x, jnp.maximum(ln[ix], 1), params,
+                                    backend="xla")
+
+        got = np.asarray(in_step(jnp.asarray(waves), jnp.asarray(lengths),
+                                 jnp.asarray(idx)))
+        want = np.asarray(log_mel_frontend(
+            jnp.asarray(waves[idx].astype(np.float32) / 32768.0),
+            jnp.asarray(np.maximum(lengths[idx], 1)), params,
+            backend="xla"))
+        np.testing.assert_array_equal(got, want)
+
+    def test_matches_feature_cached_when_augment_off(self):
+        """With augmentation off, waveform-resident training tracks
+        feature-cached training on the same corpus: same accuracies, losses
+        within float-noise-amplified tolerance (features match to ~1e-7
+        across batch shapes; Adam's sqrt(v) normalization amplifies that
+        over steps, so the loss bar is rtol=2e-2, not exact)."""
+        rng = np.random.default_rng(3)
+        waves, lengths, labels = self._toy_waves(rng)
+        feats = self._featurize_host(waves, lengths)
+        cfg = _mk_config(num_labels=3, epochs=2, use_augmentation=False,
+                         use_mixup=False, dropout=0.0)
+        results = {}
+        for mode in ("features", "waveforms"):
+            model = CNNAudioGRU(num_classes=3, dropout=0.0)
+            tx = create_optimizer(lr=cfg.train.lr,
+                                  weight_decay=cfg.train.weight_decay,
+                                  grad_clip=cfg.train.grad_clip)
+            state = create_train_state(model, jax.random.key(0), tx)
+            if mode == "waveforms":
+                tr = Trainer(model, cfg, tx=tx, num_classes=3,
+                             from_waveforms=True)
+                state, res = tr.fit(state, jnp.asarray(waves),
+                                    jnp.asarray(labels),
+                                    jnp.asarray(waves), jnp.asarray(labels),
+                                    log=lambda m: None,
+                                    train_lengths=jnp.asarray(lengths),
+                                    val_lengths=jnp.asarray(lengths))
+            else:
+                tr = Trainer(model, cfg, tx=tx, num_classes=3)
+                state, res = tr.fit(state, jnp.asarray(feats),
+                                    jnp.asarray(labels),
+                                    jnp.asarray(feats), jnp.asarray(labels),
+                                    log=lambda m: None)
+            results[mode] = res
+        hf, hw = results["features"], results["waveforms"]
+        for ef, ew in zip(hf.history, hw.history):
+            np.testing.assert_allclose(ef["train_loss"], ew["train_loss"],
+                                       rtol=2e-2)
+            np.testing.assert_allclose(ef["val_loss"], ew["val_loss"],
+                                       rtol=2e-2)
+            assert ef["train_acc"] == ew["train_acc"]
+            assert ef["val_acc"] == ew["val_acc"]
+
+    def test_waveform_augment_trains_and_learns(self):
+        """The previously-unwirable capability, live: waveform augs on
+        device inside the step; the toy problem still learns."""
+        rng = np.random.default_rng(4)
+        waves, lengths, labels = self._toy_waves(rng, n=30)
+        cfg = _mk_config(num_labels=3, epochs=4, use_augmentation=True,
+                         use_waveform_augment=True, augment_prob=0.7)
+        model = CNNAudioGRU(num_classes=3)
+        tx = create_optimizer(lr=cfg.train.lr,
+                              weight_decay=cfg.train.weight_decay,
+                              grad_clip=cfg.train.grad_clip)
+        state = create_train_state(model, jax.random.key(1), tx)
+        tr = Trainer(model, cfg, tx=tx, num_classes=3, from_waveforms=True)
+        state, res = tr.fit(state, jnp.asarray(waves), jnp.asarray(labels),
+                            jnp.asarray(waves), jnp.asarray(labels),
+                            log=lambda m: None,
+                            train_lengths=jnp.asarray(lengths),
+                            val_lengths=jnp.asarray(lengths))
+        assert res.history[-1]["train_loss"] < res.history[0]["train_loss"]
+        assert res.best_val_acc > 0.5  # 3 tone classes: way above chance
+
+    def test_waveform_cache_roundtrip(self, tmp_path):
+        from speech_intent_recognizer_tpu.data.cache import (
+            load_waveform_cache, precompute_waveforms, save_waveform_cache)
+        from speech_intent_recognizer_tpu.data.manifest import Manifest
+        from speech_intent_recognizer_tpu.data.audio_io import save_wav
+        from speech_intent_recognizer_tpu.config.schema import AudioConfig
+
+        rng = np.random.default_rng(5)
+        paths, labels = [], []
+        for i in range(4):
+            p = str(tmp_path / f"w{i}.wav")
+            save_wav(p, (0.2 * rng.standard_normal(9000 + 1000 * i)
+                         ).astype(np.float32), 16000)
+            paths.append(p)
+            labels.append("ab"[i % 2])
+        m = Manifest(paths=paths, labels=labels)
+        lm = {"a": 0, "b": 1}
+        out_npy = str(tmp_path / "waves.npy")
+        waves, lengths, labs, ok, ps = precompute_waveforms(
+            m, lm, AudioConfig(), progress=False, waves_out=out_npy)
+        assert isinstance(waves, np.memmap) and waves.dtype == np.int16
+        assert ok.all() and lengths.tolist() == [9000, 10000, 11000, 12000]
+        cache_p = str(tmp_path / "w_waveforms.npz")
+        save_waveform_cache(cache_p, waves, lengths, labs, ps, lm,
+                            AudioConfig())
+        w2, l2, lab2, meta = load_waveform_cache(cache_p)
+        np.testing.assert_array_equal(w2, np.asarray(waves))
+        np.testing.assert_array_equal(l2, lengths)
+        np.testing.assert_array_equal(lab2, labs)
+        assert meta["kind"] == "waveforms_int16"
+
+
 class TestEarlyStopping:
     def test_stops_on_plateau(self):
         rng = np.random.default_rng(1)
@@ -142,6 +297,71 @@ class TestCheckpoint:
 
 
 class TestMeshTraining:
+    def test_sharded_checkpoint_roundtrip_dp8(self, tmp_path):
+        """Save a dp8 mesh-placed train state, restore it, and assert the
+        NEXT epoch is bit-equal to the uninterrupted run — the distributed
+        seam the single-device roundtrip (TestCheckpoint) can't cover."""
+        from speech_intent_recognizer_tpu.data.pipeline import DeviceDataset
+        from speech_intent_recognizer_tpu.parallel.mesh import create_mesh
+        from speech_intent_recognizer_tpu.parallel.sharding import (
+            place_params)
+        from speech_intent_recognizer_tpu.train.checkpoint import Checkpointer
+        from speech_intent_recognizer_tpu.train.loop import pad_permutation
+
+        rng = np.random.default_rng(9)
+        feats, labels = _toy_data(rng, n=16)
+        cfg = _mk_config(epochs=1, batch_size=8, augment_prob=0.0,
+                         use_augmentation=False)
+        mesh = create_mesh()
+        model = CNNAudioGRU(num_classes=4, dropout=0.0)
+        tx = create_optimizer(lr=cfg.train.lr,
+                              weight_decay=cfg.train.weight_decay,
+                              grad_clip=cfg.train.grad_clip)
+        state = create_train_state(model, jax.random.key(0), tx)
+        state = state.replace(
+            params=place_params(mesh, state.params),
+            batch_stats=place_params(mesh, state.batch_stats))
+        trainer = Trainer(model, cfg, mesh=mesh, num_classes=4, tx=tx)
+        epoch_fn = trainer._build_epoch_fn()
+        ds = DeviceDataset.from_arrays(feats, labels, mesh)
+        perm, w = pad_permutation(jax.random.key(1), 16, 8)
+
+        # epoch 1, then checkpoint the sharded state
+        state, _ = epoch_fn(state, ds.features, ds.labels, perm, w,
+                            jax.random.key(2))
+        ckpt = Checkpointer(str(tmp_path), use_orbax=True)
+        if ckpt._manager is None:
+            pytest.skip("orbax unavailable")
+        ckpt.save_state(state, epoch=1, best_val_acc=0.5, no_improve=0)
+
+        # uninterrupted epoch 2 (donate_argnums invalidates `state`; keep a
+        # host copy for the comparison AND a template for restore)
+        host_state = jax.device_get(state)
+        state2, m_uninterrupted = epoch_fn(state, ds.features, ds.labels,
+                                           perm, w, jax.random.key(3))
+        final_uninterrupted = jax.device_get(state2.params)
+
+        # restore into a FRESH mesh-placed template, run the same epoch 2
+        fresh = create_train_state(model, jax.random.key(99), tx)
+        fresh = fresh.replace(
+            params=place_params(mesh, fresh.params),
+            batch_stats=place_params(mesh, fresh.batch_stats),
+            opt_state=jax.device_put(host_state.opt_state),
+            step=jax.device_put(host_state.step))
+        out = ckpt.restore_state(fresh)
+        assert out is not None
+        restored, book = out
+        assert book["epoch"] == 1
+        restored = restored.replace(
+            params=place_params(mesh, restored.params),
+            batch_stats=place_params(mesh, restored.batch_stats))
+        state3, m_resumed = epoch_fn(restored, ds.features, ds.labels,
+                                     perm, w, jax.random.key(3))
+        assert float(m_uninterrupted["loss"]) == float(m_resumed["loss"])
+        for a, b in zip(jax.tree.leaves(final_uninterrupted),
+                        jax.tree.leaves(jax.device_get(state3.params))):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     @pytest.mark.slow
     def test_mesh_and_single_device_train_identically(self):
         """SPMD correctness: the 8-way data-parallel epoch must produce the
