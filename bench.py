@@ -271,6 +271,14 @@ def main() -> int:
         wf_small = jnp.asarray(wav_np[:batch, : audio_cfg.max_samples])
         ca = jax.jit(xla_equiv).lower(
             variables, wf_small, lengths).cost_analysis()
+        if ca is None:
+            # The tunnelled accel backend does not expose HLO cost
+            # analysis; lower the identical program for CPU — the FLOP
+            # count of the traced math is backend-independent.
+            with jax.default_device(jax.devices("cpu")[0]):
+                ca = jax.jit(xla_equiv).lower(
+                    jax.device_get(variables), np.asarray(wf_small),
+                    np.asarray(lengths)).cost_analysis()
         flops_batch = float(ca.get("flops", 0.0))
         if flops_batch > 0:
             achieved = flops_batch * tpu_rate / batch
