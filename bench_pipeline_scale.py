@@ -103,6 +103,11 @@ def main(argv=None) -> int:
                     help="reference FSC recipe epochs")
     ap.add_argument("--force", action="store_true",
                     help="regenerate the corpus even if present")
+    ap.add_argument("--waveform", action="store_true",
+                    help="waveform-resident mode (data.train_on_waveforms):"
+                    " STEP 2 builds the int16 waveform cache (no device "
+                    "round trip) and training featurizes inside the jitted "
+                    "step, with waveform augmentation live")
     args = ap.parse_args(argv)
 
     os.makedirs(args.out, exist_ok=True)
@@ -115,7 +120,8 @@ def main(argv=None) -> int:
     from speech_intent_recognizer_tpu.config import Config
     from speech_intent_recognizer_tpu.config.loader import save_config
 
-    workdir = os.path.join(args.out, "run")
+    workdir = os.path.join(args.out,
+                           "run_waveform" if args.waveform else "run")
     os.makedirs(workdir, exist_ok=True)
     # reference FSC recipe (configs/config.yaml), paths swapped in
     cfg = Config.from_dict({
@@ -129,7 +135,9 @@ def main(argv=None) -> int:
         "lr": 5e-5, "weight_decay": 1e-4, "grad_clip": 1.0,
         "early_stop_patience": 5, "early_stop_delta": 0.001,
         "bf16": True, "use_augmentation": True, "augment_prob": 0.7,
-        "precompute_batch_size": 128, "seed": 42,
+        "precompute_batch_size": 512, "seed": 42,
+        "train_on_waveforms": args.waveform,
+        "use_waveform_augment": args.waveform,
     })
     cfg_path = os.path.join(workdir, "config.json")
     save_config(cfg, cfg_path)
@@ -160,8 +168,11 @@ def main(argv=None) -> int:
         "unit": f"seconds (4-stage run_pipeline, {sum(n_files.values())} "
                 "on-disk wavs, reference recipe)",
         "vs_baseline": None,
-        "detail": {"ok": ok, "stages_s": {k: round(v, 1) for k, v in
-                                          stage_times.items()},
+        "detail": {"ok": ok,
+                   "mode": ("waveform_resident" if args.waveform
+                            else "feature_cache"),
+                   "stages_s": {k: round(v, 1) for k, v in
+                                stage_times.items()},
                    "corpus_synth_s": round(synth_s, 1),
                    "splits": n_files, "epochs": args.epochs,
                    "test_accuracy": test_acc},

@@ -15,11 +15,14 @@ attributable:
   ``scripts/precompute_features.py:124-139`` stages float tensors).
 * pipelined fetch: batch k's device->host readback overlaps batch k+1's
   staging + compute (JAX async dispatch).
+* ``int16`` fetch (default): features quantize ON DEVICE with a
+  per-utterance scale before readback — half the return wire bytes,
+  <=1.5e-4 absolute error (cache stays float32).
 * memmap serialization: features stream to the final ``.npy`` during the
   loop; the ``.npz`` build is one sequential zip-store disk copy.
 
 Usage: python bench_precompute.py [--utts 8192] [--batch_size 128]
-Prints one JSON line with both wire formats' stage tables.
+Prints one JSON line with the (wire, fetch, batch) matrix's stage tables.
 """
 
 from __future__ import annotations
@@ -58,7 +61,7 @@ def build_corpus(out_dir: str, utts: int, seed: int) -> tuple:
 
 
 def run_stage(manifest, label_map, audio_cfg, batch_size: int,
-              wire_dtype: str, cache_path: str) -> dict:
+              wire_dtype: str, fetch_dtype: str, cache_path: str) -> dict:
     from speech_intent_recognizer_tpu.data import cache as cache_mod
 
     timings: dict = {}
@@ -66,8 +69,8 @@ def run_stage(manifest, label_map, audio_cfg, batch_size: int,
     t0 = time.perf_counter()
     feats, labels, ok, paths = cache_mod.precompute_features(
         manifest, label_map, audio_cfg, batch_size=batch_size,
-        progress=False, wire_dtype=wire_dtype, features_out=tmp_npy,
-        timings=timings)
+        progress=False, wire_dtype=wire_dtype, fetch_dtype=fetch_dtype,
+        features_out=tmp_npy, timings=timings)
     t_loop = time.perf_counter() - t0
     t0 = time.perf_counter()
     cache_mod.save_cache(cache_path, feats, labels, paths, label_map,
@@ -78,6 +81,8 @@ def run_stage(manifest, label_map, audio_cfg, batch_size: int,
     n = len(labels)
     return {
         "wire": wire_dtype,
+        "fetch": fetch_dtype,
+        "batch_size": batch_size,
         "loop_s": round(t_loop, 2),
         "save_npz_s": round(t_save, 2),
         "total_s": round(t_loop + t_save, 2),
@@ -125,17 +130,29 @@ def main() -> int:
     label_map = {f"c{i}": i for i in range(19)}
     audio_cfg = AudioConfig()
 
+    # (wire, fetch, batch) matrix: the f32/f32 row is the round-4
+    # baseline behavior; int16_packed staging + int16 quantized readback
+    # is the shipped default; the b512 row probes per-batch round-trip
+    # amortization on the tunnel.
+    combos = [
+        ("float32", "float32", args.batch_size),
+        ("int16", "float32", args.batch_size),
+        ("int16_packed", "float32", args.batch_size),
+        ("int16_packed", "int16", args.batch_size),
+        ("int16_packed", "int16", 4 * args.batch_size),
+    ]
     results = {}
-    for wire in ("float32", "int16", "int16_packed"):
-        cache_path = os.path.join(out_dir, f"bench_{wire}_features.npz")
+    for wire, fetch, bs in combos:
+        key = f"{wire}+{fetch}@b{bs}"
+        cache_path = os.path.join(out_dir, "bench_features.npz")
         # warm run (compiles) then measured run
-        run_stage(Manifest(paths=paths[: 2 * args.batch_size],
-                           labels=labels[: 2 * args.batch_size]),
-                  label_map, audio_cfg, args.batch_size, wire, cache_path)
-        results[wire] = run_stage(manifest, label_map, audio_cfg,
-                                  args.batch_size, wire, cache_path)
+        run_stage(Manifest(paths=paths[: 2 * bs], labels=labels[: 2 * bs]),
+                  label_map, audio_cfg, bs, wire, fetch, cache_path)
+        results[key] = run_stage(manifest, label_map, audio_cfg,
+                                 bs, wire, fetch, cache_path)
 
-    best, f32 = results["int16_packed"], results["float32"]
+    f32 = results[f"float32+float32@b{args.batch_size}"]
+    best = max(results.values(), key=lambda r: r["utt_per_s"])
     print(json.dumps({
         "metric": "precompute_throughput",
         "value": best["utt_per_s"],

@@ -13,13 +13,87 @@ Prints one JSON line with p50/p90 milliseconds.
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
+import tempfile
 import time
 
 import numpy as np
 
+SR, CHUNK, SILENCE_LIMIT = 16000, 1024, 0.5
+
+
+def make_utterance(rng, seconds):
+    n = int(seconds * SR)
+    t = np.arange(n) / SR
+    x = (0.2 * np.sin(2 * np.pi * 280 * t)
+         + 0.02 * rng.standard_normal(n)).astype(np.float32)
+    return np.concatenate([x, np.zeros(int(SR * (SILENCE_LIMIT + 0.2)),
+                                       np.float32)])
+
+
+def measure_eos_latency(rec, rng, trials=30):
+    """p50/p90 of end-of-speech -> result across replayed utterances."""
+    latencies = []
+    for trial in range(trials):
+        stream = make_utterance(rng, 1.0 + (trial % 5) * 0.4)
+        result = None
+        for i in range(0, len(stream) - CHUNK, CHUNK):
+            t0 = time.perf_counter()
+            result = rec.feed(stream[i : i + CHUNK])
+            if result is not None:
+                latencies.append((time.perf_counter() - t0) * 1000.0)
+                break
+        if result is None:
+            rec.flush()
+    return np.asarray(latencies)
+
+
+def local_artifact_main(artifact_dir: str) -> int:
+    """Subprocess mode: replay the same streams against the exported CPU
+    artifact (``infer/export.py::export_streaming``) on the LOCAL backend —
+    the latency a deployed serving host sees, with no tunnel in the loop."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from speech_intent_recognizer_tpu.infer.export import (
+        StreamingArtifactPredictor)
+    from speech_intent_recognizer_tpu.infer.streaming import (
+        StreamingRecognizer)
+
+    sp = StreamingArtifactPredictor.load(artifact_dir)
+    rec = StreamingRecognizer(sp, chunk_size=CHUNK, threshold=0.01,
+                              silence_limit=SILENCE_LIMIT)
+    rng = np.random.default_rng(0)
+    for c in np.array_split(make_utterance(rng, 1.0), 40):  # compile
+        rec.feed(np.resize(c, CHUNK))
+    rec.flush()
+
+    # per-chunk feed cost (host featurizer only — no device work)
+    stream = make_utterance(rng, 2.0)
+    feed_ms = []
+    for i in range(0, len(stream) - CHUNK, CHUNK):
+        t0 = time.perf_counter()
+        rec.feed(stream[i : i + CHUNK])
+        feed_ms.append((time.perf_counter() - t0) * 1000.0)
+    rec.flush()
+
+    lat = measure_eos_latency(rec, rng)
+    print(json.dumps({
+        "p50_ms": round(float(np.percentile(lat, 50)), 3),
+        "p90_ms": round(float(np.percentile(lat, 90)), 3),
+        "n": int(lat.size),
+        "feed_p50_ms": round(float(np.percentile(feed_ms, 50)), 4),
+        "platform": jax.default_backend(),
+    }))
+    return 0
+
 
 def main() -> int:
+    if len(sys.argv) == 3 and sys.argv[1] == "--local-artifact":
+        return local_artifact_main(sys.argv[2])
     from speech_intent_recognizer_tpu.utils.platform import (
         configure_jax, wait_for_backend)
     # backend init HANGS during tunnel outages; record a clean skip instead
@@ -46,42 +120,16 @@ def main() -> int:
     predictor = Predictor(model, variables, label_map)
 
     rng = np.random.default_rng(0)
-    sr, chunk = 16000, 1024
-    silence_limit = 0.5
+    chunk = CHUNK
     rec = StreamingRecognizer(predictor, chunk_size=chunk, threshold=0.01,
-                              silence_limit=silence_limit)
-
-    def make_utterance(seconds):
-        n = int(seconds * sr)
-        t = np.arange(n) / sr
-        x = (0.2 * np.sin(2 * np.pi * 280 * t)
-             + 0.02 * rng.standard_normal(n)).astype(np.float32)
-        return np.concatenate([x, np.zeros(int(sr * (silence_limit + 0.2)),
-                                           np.float32)])
+                              silence_limit=SILENCE_LIMIT)
 
     # warmup (compiles the incremental featurizer + classifier)
-    for c in np.array_split(make_utterance(1.0), 40):
+    for c in np.array_split(make_utterance(rng, 1.0), 40):
         rec.feed(np.resize(c, chunk))
     rec.flush()
 
-    latencies = []
-    for trial in range(30):
-        stream = make_utterance(1.0 + (trial % 5) * 0.4)
-        result = None
-        t_end_of_speech = None
-        for i in range(0, len(stream) - chunk, chunk):
-            piece = stream[i : i + chunk]
-            t0 = time.perf_counter()
-            result = rec.feed(piece)
-            if result is not None:
-                t_end_of_speech = time.perf_counter() - t0
-                break
-        if result is None:
-            rec.flush()
-            continue
-        latencies.append(t_end_of_speech * 1000.0)
-
-    lat = np.asarray(latencies)
+    lat = measure_eos_latency(rec, rng)
 
     # ---- latency decomposition: link RTT vs device compute ----
     # On this container the accelerator sits behind a shared tunnel whose
@@ -128,6 +176,26 @@ def main() -> int:
         best_dev = min(best_dev, (time.perf_counter() - t0) / k)
     device_ms = best_dev * 1000.0
 
+    # ---- (c) deployed-artifact p50: export the streaming finalize as a
+    # CPU artifact (infer/export.py::export_streaming) and replay the same
+    # streams in a CPU-pinned subprocess — the end-of-speech latency a
+    # local serving host sees, with no tunnel in the loop.
+    local = None
+    try:
+        from speech_intent_recognizer_tpu.infer.export import (
+            export_streaming)
+
+        with tempfile.TemporaryDirectory(prefix="sir_stream_aot_") as d:
+            export_streaming(predictor, d, platforms=["cpu"])
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--local-artifact", d],
+                capture_output=True, text=True, timeout=600,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            local = json.loads(proc.stdout.strip().splitlines()[-1])
+    except Exception as e:  # report the tunnel numbers regardless
+        local = {"error": f"{type(e).__name__}: {e}"}
+
     p50 = float(np.percentile(lat, 50))
     print(json.dumps({
         "metric": "streaming_end_of_speech_latency",
@@ -135,7 +203,8 @@ def main() -> int:
         "unit": "ms (p50)",
         "vs_baseline": None,
         "detail": {"p90_ms": round(float(np.percentile(lat, 90)), 2),
-                   "n": len(latencies),
+                   "n": int(lat.size),
+                   "local_artifact": local,
                    "link_rtt_p50_ms": round(rtt_p50, 2),
                    "device_compute_ms_per_finalize": round(device_ms, 3),
                    "host_plus_queue_ms": round(

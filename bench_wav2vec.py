@@ -199,6 +199,16 @@ def main() -> int:
     def _flops(jitted, *args):
         try:
             ca = jitted.lower(*args).cost_analysis()
+            if ca is None:
+                # The tunnelled accel backend does not expose HLO cost
+                # analysis; re-lower for CPU from shape/dtype specs only
+                # (no transfers) — the traced math's FLOP count is
+                # backend-independent.
+                specs = jax.tree.map(
+                    lambda x: jax.ShapeDtypeStruct(jnp.shape(x), x.dtype),
+                    args)
+                with jax.default_device(jax.devices("cpu")[0]):
+                    ca = jitted.lower(*specs).cost_analysis()
             f = float(ca.get("flops", 0.0))
             return f if f > 0 else None
         except Exception:

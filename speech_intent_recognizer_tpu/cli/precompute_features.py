@@ -33,11 +33,15 @@ def main(argv=None) -> dict:
                    choices=("int16_packed", "int16", "float32"),
                    default=None, help="waveform staging format (default: "
                    "config data.precompute_wire_dtype = int16_packed)")
+    p.add_argument("--fetch_dtype", choices=("int16", "float32"),
+                   default=None, help="feature readback format (default: "
+                   "config data.precompute_fetch_dtype = int16)")
     args = p.parse_args(argv)
 
     cfg = load_config_or_default(args.config)
     bs = args.batch_size or cfg.data.precompute_batch_size
     wire = args.wire_dtype or cfg.data.precompute_wire_dtype
+    fetch = args.fetch_dtype or cfg.data.precompute_fetch_dtype
     os.makedirs(args.output_dir, exist_ok=True)
 
     manifests = {name: read_manifest(path) for name, path in
@@ -58,7 +62,8 @@ def main(argv=None) -> dict:
         timings: dict = {}
         feats, labels, ok, paths = cache_mod.precompute_features(
             manifest, label_map, cfg.audio, batch_size=bs,
-            wire_dtype=wire, features_out=tmp_npy, timings=timings)
+            wire_dtype=wire, fetch_dtype=fetch,
+            features_out=tmp_npy, timings=timings)
         cache_mod.save_cache(out, feats, labels, paths, label_map, cfg.audio)
         del feats  # release the memmap handle before unlinking
         try:
@@ -67,11 +72,12 @@ def main(argv=None) -> dict:
             pass
         info[f"{name}_features"] = out
         logger.info("%s: %d features cached (%d failed) "
-                    "[decode %.1fs dispatch %.1fs fetch %.1fs wire=%s]",
+                    "[decode %.1fs dispatch %.1fs fetch %.1fs "
+                    "wire=%s fetch_fmt=%s]",
                     name, len(labels), int((~ok).sum()),
                     timings.get("decode_s", 0.0),
                     timings.get("stage_dispatch_s", 0.0),
-                    timings.get("fetch_s", 0.0), wire)
+                    timings.get("fetch_s", 0.0), wire, fetch)
 
     with open(os.path.join(args.output_dir, "cache_info.json"), "w") as f:
         json.dump(info, f, indent=2)

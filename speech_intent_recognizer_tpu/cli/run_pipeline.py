@@ -92,7 +92,41 @@ def run_pipeline(config_path: str, force_precompute: bool = False,
     # STEP 2: precompute features (device batched); build_dataset inside
     # train/evaluate handles cache hits, so this stage only forces misses.
     t_stage = time.perf_counter()
-    if cfg.data.use_feature_cache:
+    if cfg.data.use_feature_cache and cfg.data.train_on_waveforms:
+        # Waveform-resident mode: train/valid need only the int16 waveform
+        # cache (host decode + one disk copy — no device round trip at
+        # all; featurization happens INSIDE the jitted train step).  The
+        # test split still gets a feature cache for the evaluate stage.
+        logger.info("=== STEP 2: PRECOMPUTING WAVEFORM CACHE "
+                    "(train/valid) + TEST FEATURES ===")
+        from speech_intent_recognizer_tpu.data.labelmap import (
+            load_label_map)
+        from speech_intent_recognizer_tpu.data.manifest import read_manifest
+
+        label_map = load_label_map(label_map_path)
+        for csvp in (train_csv, valid_csv):
+            wf_cache = cache_mod.waveform_cache_path_for(
+                csvp, cfg.data.cache_dir)
+            if cfg.data.force_precompute or not os.path.exists(wf_cache):
+                manifest = read_manifest(csvp)
+                waves, lengths, labels, _ok, paths = (
+                    cache_mod.precompute_waveforms(
+                        manifest, label_map, cfg.audio, progress=False))
+                cache_mod.save_waveform_cache(
+                    wf_cache, waves, lengths, labels, paths, label_map,
+                    cfg.audio)
+        test_cache = cache_mod.cache_path_for(test_csv, cfg.data.cache_dir)
+        if cfg.data.force_precompute or not os.path.exists(test_cache):
+            manifest = read_manifest(test_csv)
+            feats, labels, _ok, paths = cache_mod.precompute_features(
+                manifest, label_map, cfg.audio,
+                batch_size=cfg.data.precompute_batch_size, progress=False,
+                wire_dtype=cfg.data.precompute_wire_dtype,
+                fetch_dtype=cfg.data.precompute_fetch_dtype)
+            cache_mod.save_cache(test_cache, feats, labels, paths,
+                                 label_map, cfg.audio)
+        cfg.data.force_precompute = False
+    elif cfg.data.use_feature_cache:
         logger.info("=== STEP 2: PRECOMPUTING FEATURES ===")
         train_cache = cache_mod.cache_path_for(train_csv, cfg.data.cache_dir)
         if cfg.data.force_precompute or not os.path.exists(train_cache):

@@ -89,6 +89,11 @@ class DataConfig:
     # float/MP3 sources too; the int16 forms are already bit-exact for
     # 16-bit PCM sources)
     precompute_wire_dtype: str = "int16_packed"
+    # feature readback format for precompute: "int16" (default — per-
+    # utterance-scaled device-side quantization, half the return wire
+    # bytes, <=1.5e-4 absolute error on normalized log-mels; the cache
+    # stays float32) or "float32" (bit-exact readback)
+    precompute_fetch_dtype: str = "int16"
     # augmentation (reference configs/config.yaml:38-40, dataset.py:69-71)
     use_augmentation: bool = True
     augment_prob: float = 0.7
@@ -174,6 +179,7 @@ _FLAT_KEY_MAP = {
     "force_precompute": ("data", "force_precompute"),
     "precompute_batch_size": ("data", "precompute_batch_size"),
     "precompute_wire_dtype": ("data", "precompute_wire_dtype"),
+    "precompute_fetch_dtype": ("data", "precompute_fetch_dtype"),
     "train_on_waveforms": ("data", "train_on_waveforms"),
     "use_augmentation": ("data", "use_augmentation"),
     "augment_prob": ("data", "augment_prob"),

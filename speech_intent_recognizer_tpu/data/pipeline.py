@@ -86,7 +86,8 @@ def build_dataset(
     feats, labels, ok, paths = cache_mod.precompute_features(
         manifest, label_map, cfg.audio,
         batch_size=cfg.data.precompute_batch_size,
-        wire_dtype=cfg.data.precompute_wire_dtype)
+        wire_dtype=cfg.data.precompute_wire_dtype,
+        fetch_dtype=cfg.data.precompute_fetch_dtype)
     if use_cache and store:
         cache_mod.save_cache(cache_file, feats, labels, paths, label_map,
                              cfg.audio)

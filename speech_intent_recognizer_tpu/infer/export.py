@@ -184,6 +184,153 @@ def export_predictor(predictor, out_dir: str,
     return out_dir
 
 
+_STREAM_PROGRAM = "stream_finalize.jaxexp"
+_STREAM_CLASSIFY = "stream_classify.jaxexp"
+
+
+def export_streaming(predictor, out_dir: str,
+                     platforms: Optional[list] = None) -> str:
+    """Export the streaming end-of-utterance path as a portable artifact.
+
+    Serializes the ONE-call fused finalize (tail-frame DFT+mel+dB, masked
+    normalization, classify — ``StreamingRecognizer._build_fused_finalize``)
+    and the partial-hypothesis classifier to StableHLO, alongside weights,
+    labels and the audio geometry.  A serving host loads this with
+    :class:`StreamingArtifactPredictor` and runs the FULL streaming stack
+    (VAD -> incremental log-mel -> finalize) with no model code and no
+    remote accelerator: the per-chunk feed is host-side (native C++ or
+    NumPy featurizer) and end-of-utterance is the deserialized program on
+    the local backend.
+
+    The reference's streaming analogue recomputes the entire utterance's
+    features at end of speech on the Python host
+    (``scripts/testing.py:222-266``); this artifact keeps the incremental
+    path AND makes it deployable without the framework.
+
+    Returns ``out_dir``.
+    """
+    from flax import serialization
+
+    from jax import export as jexp
+
+    from speech_intent_recognizer_tpu.infer.streaming import (
+        StreamingRecognizer)
+
+    os.makedirs(out_dir, exist_ok=True)
+    rec = StreamingRecognizer(predictor)
+    cfg = predictor.audio_cfg
+    p = rec._featurizer.params
+    tail_max = StreamingRecognizer._TAIL_MAX
+    plats = platforms or sorted({jax.default_backend(), "cpu"})
+    var_specs = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
+        predictor.variables)
+    scalar_i32 = jax.ShapeDtypeStruct((), jnp.int32)
+
+    finalize = jexp.export(
+        jax.jit(rec._build_fused_finalize()), platforms=plats)(
+            var_specs,
+            jax.ShapeDtypeStruct((p.target_length, p.n_mels), jnp.float32),
+            scalar_i32,
+            jax.ShapeDtypeStruct((tail_max, rec._featurizer.n_fft),
+                                 jnp.float32),
+            scalar_i32)
+    with open(os.path.join(out_dir, _STREAM_PROGRAM), "wb") as f:
+        f.write(finalize.serialize())
+
+    classify = jexp.export(
+        jax.jit(rec._build_classifier()), platforms=plats)(
+            var_specs,
+            jax.ShapeDtypeStruct((p.n_mels, p.target_length), jnp.float32))
+    with open(os.path.join(out_dir, _STREAM_CLASSIFY), "wb") as f:
+        f.write(classify.serialize())
+
+    with open(os.path.join(out_dir, _VARIABLES), "wb") as f:
+        f.write(serialization.to_bytes(predictor.variables))
+    with open(os.path.join(out_dir, _LABELS), "w") as f:
+        json.dump(predictor.label_map, f, indent=2)
+    with open(os.path.join(out_dir, _MANIFEST), "w") as f:
+        json.dump({
+            "format": "sir_tpu.streaming_export.v1",
+            "model": type(predictor.model).__name__,
+            "platforms": plats,
+            "tail_max": tail_max,
+            "num_classes": int(len(predictor.inv_label_map)),
+            "audio": {
+                "sample_rate": cfg.sample_rate,
+                "n_fft": cfg.n_fft,
+                "hop_length": cfg.hop_length,
+                "n_mels": cfg.n_mels,
+                "mel_spec_length": cfg.mel_spec_length,
+                "max_samples": cfg.max_samples,
+                "frontend": cfg.frontend,
+            },
+        }, f, indent=2)
+    return out_dir
+
+
+class StreamingArtifactPredictor:
+    """Predictor stand-in backed by an exported streaming artifact.
+
+    Duck-types the attributes :class:`StreamingRecognizer` reads from a
+    live ``Predictor`` (``audio_cfg``, ``variables``, ``label_map``,
+    ``inv_label_map``) and pre-fills the shared compiled-function cache
+    with the deserialized finalize/classify programs, so
+
+        rec = StreamingRecognizer(StreamingArtifactPredictor.load(d))
+
+    serves streams end-to-end from the artifact alone — no model or
+    front-end construction code, any jax.export-supported backend.
+    """
+
+    def __init__(self, finalize_call, classify_call, variables,
+                 label_map: Dict[str, int], manifest: Dict):
+        self.variables = jax.device_put(variables)
+        self.label_map = label_map
+        self.inv_label_map = {v: k for k, v in label_map.items()}
+        a = manifest["audio"]
+        self.audio_cfg = AudioConfig(
+            sample_rate=a["sample_rate"], n_fft=a["n_fft"],
+            hop_length=a["hop_length"], n_mels=a["n_mels"],
+            mel_spec_length=a["mel_spec_length"],
+            max_duration=a["max_samples"] / a["sample_rate"],
+            frontend=a["frontend"])
+        self.manifest = manifest
+        # StreamingRecognizer._shared_jit finds these and never touches
+        # the (absent) model attribute.
+        self._stream_jit_cache = {"fused_finalize": finalize_call,
+                                  "classify": classify_call}
+
+    @classmethod
+    def load(cls, artifact_dir: str) -> "StreamingArtifactPredictor":
+        from flax import serialization
+
+        from jax import export as jexp
+
+        with open(os.path.join(artifact_dir, _MANIFEST)) as f:
+            manifest = json.load(f)
+        if manifest.get("format") != "sir_tpu.streaming_export.v1":
+            raise ValueError(
+                f"unrecognized streaming artifact in {artifact_dir}: "
+                f"{manifest.get('format')!r}")
+        with open(os.path.join(artifact_dir, _STREAM_PROGRAM), "rb") as f:
+            finalize = jexp.deserialize(f.read())
+        with open(os.path.join(artifact_dir, _STREAM_CLASSIFY), "rb") as f:
+            classify = jexp.deserialize(f.read())
+        with open(os.path.join(artifact_dir, _LABELS)) as f:
+            label_map = json.load(f)
+        with open(os.path.join(artifact_dir, _VARIABLES), "rb") as f:
+            blob = f.read()
+        treedef = finalize.in_tree.children()[0].children()[0]
+        leaves = [
+            np.zeros(s.shape, s.dtype)
+            for s in finalize.in_avals[: treedef.num_leaves]]
+        variables = serialization.from_bytes(
+            jax.tree.unflatten(treedef, leaves), blob)
+        return cls(jax.jit(finalize.call), jax.jit(classify.call),
+                   variables, label_map, manifest)
+
+
 class ServingModel:
     """Run an exported artifact: waveforms in, probabilities out.
 

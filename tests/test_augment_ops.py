@@ -5,7 +5,8 @@ import jax
 import jax.numpy as jnp
 
 from speech_intent_recognizer_tpu.ops.augment import (
-    augment_waveforms, mixup, time_shift)
+    _RATE_KS, _linear_resample, _resample_bank, _resample_fixed,
+    augment_waveforms, batched_time_shift, mixup, time_shift)
 from speech_intent_recognizer_tpu.ops.specaugment import spec_augment
 
 
@@ -56,6 +57,49 @@ class TestWaveformAugment:
         assert out.shape == waves.shape
         assert (np.asarray(new_len) > 0).all()
         assert (np.asarray(new_len) <= 8000).all()
+
+    def test_batched_shift_matches_scalar_golden(self, rng):
+        """The two-level one-hot-matmul shift (TPU path: no per-row
+        gathers) must be EXACT against the scalar golden for arbitrary
+        integer shifts on zero-padded rows (the waveform-cache
+        precondition), including lengths not divisible by the chunk."""
+        L = 1000  # not a multiple of _SHIFT_CHUNK
+        lengths = np.asarray([1000, 700, 513, 1], np.int32)
+        x = rng.standard_normal((4, L)).astype(np.float32)
+        x *= (np.arange(L)[None, :] < lengths[:, None])
+        shifts = np.asarray([137, -1, -260, 999], np.int32)
+        fast = np.asarray(batched_time_shift(jnp.asarray(x),
+                                             jnp.asarray(shifts)))
+        gold = np.stack([
+            np.asarray(time_shift(jnp.asarray(x[i]), jnp.int32(lengths[i]),
+                                  jnp.int32(shifts[i])))
+            for i in range(4)])
+        np.testing.assert_array_equal(fast, gold)
+
+    def test_polyphase_resample_matches_scalar_golden(self, rng):
+        """The fixed-rate polyphase matmul resampler must match the
+        gather-based golden at every grid rate (zero-padded input)."""
+        L = 1024  # multiple of the den=64 frame stride
+        length = 800
+        x = rng.standard_normal((2, L)).astype(np.float32)
+        x[:, length:] = 0.0
+        for k in (_RATE_KS[0], 64, _RATE_KS[-1]):
+            fast = np.asarray(_resample_fixed(jnp.asarray(x), k))
+            gold = np.stack([
+                np.asarray(_linear_resample(jnp.asarray(x[i]),
+                                            jnp.float32(k / 64.0)))
+                for i in range(2)])
+            np.testing.assert_allclose(fast, gold, atol=2e-6,
+                                       err_msg=f"rate {k}/64")
+
+    def test_resample_bank_selects_per_row_rate(self, rng):
+        x = rng.standard_normal((3, 512)).astype(np.float32)
+        idx = np.asarray([0, 9, len(_RATE_KS) - 1], np.int32)
+        out = np.asarray(_resample_bank(jnp.asarray(x), jnp.asarray(idx)))
+        for i, ki in enumerate(idx):
+            ref = np.asarray(_resample_fixed(jnp.asarray(x[i : i + 1]),
+                                             _RATE_KS[ki]))[0]
+            np.testing.assert_allclose(out[i], ref, atol=2e-6)
 
     def test_prob_zero_identity(self, rng):
         waves = jnp.asarray(rng.standard_normal((2, 4000)), jnp.float32)

@@ -80,6 +80,44 @@ class TestExportRoundtrip:
         swapped = srv.predict_waveform_batch(wf, ln)
         assert np.abs(base - swapped).max() > 1e-4
 
+    def test_streaming_artifact_matches_live_recognizer(self, predictor,
+                                                        tmp_path):
+        """The exported streaming-finalize artifact
+        (``export_streaming`` + ``StreamingArtifactPredictor``) must
+        reproduce the live StreamingRecognizer's end-of-utterance result
+        on an identical replayed stream, with no model code in the loop."""
+        from speech_intent_recognizer_tpu.infer.export import (
+            StreamingArtifactPredictor, export_streaming)
+        from speech_intent_recognizer_tpu.infer.streaming import (
+            StreamingRecognizer)
+
+        out = str(tmp_path / "stream_artifact")
+        export_streaming(predictor, out, platforms=["cpu"])
+        sp = StreamingArtifactPredictor.load(out)
+        assert sp.audio_cfg.max_samples == predictor.audio_cfg.max_samples
+
+        rng = np.random.default_rng(3)
+        sr, chunk = 16000, 1024
+        t = np.arange(int(1.2 * sr)) / sr
+        stream = np.concatenate([
+            (0.3 * np.sin(2 * np.pi * 250 * t)
+             + 0.02 * rng.standard_normal(t.size)).astype(np.float32),
+            np.zeros(int(0.8 * sr), np.float32)])
+
+        results = []
+        for rec_pred in (predictor, sp):
+            rec = StreamingRecognizer(rec_pred, chunk_size=chunk,
+                                      threshold=0.01, silence_limit=0.5)
+            r = None
+            for i in range(0, len(stream) - chunk, chunk):
+                r = r or rec.feed(stream[i : i + chunk])
+            results.append(r or rec.flush())
+        live, aot = results
+        assert live is not None and aot is not None
+        assert aot["predicted_label"] == live["predicted_label"]
+        np.testing.assert_allclose(aot["confidence"], live["confidence"],
+                                   rtol=2e-4, atol=2e-5)
+
     def test_rejects_unknown_format(self, artifact, tmp_path):
         import json
         import shutil

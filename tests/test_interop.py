@@ -168,12 +168,24 @@ class TestFaultTolerance:
         lm = {"a": 0, "b": 1}
         cfg = AudioConfig()
         f_i16, l_i16, ok_i16, _ = precompute_features(
-            m, lm, cfg, batch_size=2, progress=False, wire_dtype="int16")
+            m, lm, cfg, batch_size=2, progress=False, wire_dtype="int16",
+            fetch_dtype="float32")
         f_f32, l_f32, ok_f32, _ = precompute_features(
-            m, lm, cfg, batch_size=2, progress=False, wire_dtype="float32")
+            m, lm, cfg, batch_size=2, progress=False, wire_dtype="float32",
+            fetch_dtype="float32")
         f_pk, _, ok_pk, _ = precompute_features(
             m, lm, cfg, batch_size=2, progress=False,
+            wire_dtype="int16_packed", fetch_dtype="float32")
+        # default quantized readback (per-utterance int16 scale): half the
+        # return wire bytes, error an order of magnitude under the fused-
+        # kernel torch-parity gate (2e-3)
+        f_q, _, ok_q, _ = precompute_features(
+            m, lm, cfg, batch_size=2, progress=False,
             wire_dtype="int16_packed")
+        assert ok_q.all()
+        assert f_q.dtype == np.float32
+        np.testing.assert_allclose(f_q, f_pk, atol=2.5e-4)
+        assert np.max(np.abs(f_q - f_pk)) > 0  # it IS quantized
         assert ok_i16.all() and ok_f32.all() and ok_pk.all()
         np.testing.assert_array_equal(f_i16, f_f32)
         # packed unpack is value-exact, but fusing the gather into the
@@ -186,7 +198,7 @@ class TestFaultTolerance:
         out_npy = str(tmp_path / "feats.npy")
         f_mm, l_mm, ok_mm, ps = precompute_features(
             m, lm, cfg, batch_size=2, progress=False, wire_dtype="int16",
-            features_out=out_npy)
+            fetch_dtype="float32", features_out=out_npy)
         assert isinstance(f_mm, np.memmap)
         np.testing.assert_array_equal(np.asarray(f_mm), f_i16)
         cache_p = str(tmp_path / "c_features.npz")
